@@ -1,0 +1,101 @@
+package graft.algos
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.core.LinkGraph
+import graft.engine.{LocalStore, StateStore, Superstep}
+
+/** Label-propagation community detection (LPA), matching the reference
+  * /root/reference/example_apps/communitydetection.cpp:100-201: label_0 = id;
+  * each round a vertex adopts the most frequent label among its undirected
+  * neighbors, ties broken toward the LARGER label
+  * (communitydetection.cpp:151-154: `newcount > maxcount || (maxcount ==
+  * newcount && nblabel > maxlabel)`); vertices with no neighbors keep their
+  * own label (":118 trivial"). The reference runs asynchronously with
+  * selective scheduling; this is the synchronous BSP variant with a fixed
+  * superstep budget plus early stop when no label changes — documented
+  * deviation, same per-round rule.
+  *
+  * The most-frequent-with-tiebreak reduction is `groupBy(dst, label).count()`
+  * followed by `max_by(label, (count, label))` — both shuffles carry only
+  * (vertex, label, count) rows, and the first aggregation is map-side
+  * combinable, so hot vertices (millions of in-edges) reduce to one row per
+  * distinct incoming label per partition before the shuffle.
+  */
+object LabelPropagation {
+
+  def run(
+      spark: SparkSession,
+      edges: DataFrame,
+      iters: Int = 10,
+      store: StateStore = new LocalStore,
+      numPartitions: Int = 0): Superstep.RunResult = {
+
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+    val und = LinkGraph.undirected(edges.select("src", "dst", "weight"))
+      .select("src", "dst").distinct()
+      .repartition(parts, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    und.count()
+
+    val init = LinkGraph.vertices(edges).repartition(parts, col("id"))
+      .select(col("id"), col("id").as("label"), lit(1.0).as("delta"))
+
+    def step(state: DataFrame, iter: Int): DataFrame = {
+      val msgs = state.select(col("id"), col("label"))
+        .join(und, state("id") === und("src"))
+        .select(col("dst"), col("label"))
+      // most frequent label, tie -> larger label
+      val counts = msgs.groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("cnt"))
+      val best = counts.groupBy(col("dst")).agg(
+        max_by(col("label"), struct(col("cnt"), col("label"))).as("nlabel"))
+      state.join(best, state("id") === best("dst"), "left")
+        .select(
+          state("id"),
+          coalesce(col("nlabel"), state("label")).as("label"),
+          when(coalesce(col("nlabel"), state("label")) =!= state("label"), 1.0)
+            .otherwise(0.0).as("delta"))
+        .repartition(parts, col("id"))
+    }
+
+    Superstep.run(init, step, tol = 0.0, maxIters = iters, store)
+  }
+
+  /** Unrolled SQL oracle: `iters` synchronous LPA rounds with the same
+    * tie-break (ORDER BY cnt DESC, label DESC).
+    */
+  def oracleSql(edgesSql: String, iters: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""c$k AS MATERIALIZED (
+         |  SELECT u.dst AS id, l.label, COUNT(*) AS cnt
+         |  FROM und u JOIN l${k - 1} l ON l.id = u.src GROUP BY 1, 2),
+         |b$k AS (
+         |  SELECT id, label,
+         |         ROW_NUMBER() OVER (PARTITION BY id
+         |                            ORDER BY cnt DESC, label DESC) AS rn
+         |  FROM c$k),
+         |l$k AS MATERIALIZED (
+         |  SELECT s.id, COALESCE(b.label, s.label) AS label
+         |  FROM l${k - 1} s
+         |  LEFT JOIN (SELECT id, label FROM b$k WHERE rn = 1) b
+         |    ON b.id = s.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |$edgesSql
+       |),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)
+       |),
+       |verts AS (SELECT DISTINCT src AS id FROM und),
+       |l0 AS (SELECT id, id AS label FROM verts),
+       |$iterCtes
+       |SELECT id, label FROM l$iters ORDER BY id""".stripMargin
+  }
+}

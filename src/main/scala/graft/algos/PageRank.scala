@@ -1,0 +1,130 @@
+package graft.algos
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.core.LinkGraph
+import graft.engine.{LocalStore, StateStore, Superstep}
+
+/** PageRank as power iteration with teleport, matching the reference kernel
+  * /root/reference/example_apps/pagerank.cpp:74-112:
+  *
+  *   rank_0(v)   = 1.0  (iteration 0 writes contribution 1/outdeg to edges)
+  *   rank_t(v)   = 0.15 + 0.85 * Σ_{(u,v) ∈ E} rank_{t-1}(u) / outdeg(u)
+  *
+  * Dangling vertices (outdeg 0) keep their full rank — NO redistribution,
+  * exactly like the reference (pagerank.cpp:96-104; the vertex simply has no
+  * out-edges to write to). Edge weights are ignored (the reference's float
+  * edge payload carries the contribution, not an input weight). Convergence:
+  * max per-vertex |Δ| <= tol, the `allclose 1e-6` target.
+  *
+  * Scale notes: the contribution table (`src, dst, share`) is static — it is
+  * computed once, hash-partitioned and persisted; each superstep is one join
+  * on `src` (co-partitioned with the rank state → no shuffle of the big edge
+  * side after iteration 1 under AQE-stable partitioning) plus one
+  * `groupBy(dst)` shuffle with map-side partial sums. That one shuffle per
+  * superstep is the PSW-equivalent data movement and is irreducible.
+  */
+object PageRank {
+  val Teleport = 0.15
+  val Damping  = 0.85
+
+  /** Static per-edge contribution shares: (src, dst, share=1/outdeg(src)). */
+  def shares(edges: DataFrame): DataFrame = {
+    val outDeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    edges.select("src", "dst")
+      .join(outDeg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("od")).as("share"))
+  }
+
+  /** Run to convergence. Returns state (id, rank, delta) + metrics. */
+  def run(
+      spark: SparkSession,
+      edges: DataFrame,
+      tol: Double = 1e-6,
+      maxIters: Int = 100,
+      store: StateStore = new LocalStore,
+      numPartitions: Int = 0): Superstep.RunResult = {
+
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+    val sh = shares(edges).repartition(parts, col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = LinkGraph.vertices(edges).repartition(parts, col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    verts.count() // materialize static sides once
+
+    val init = verts.select(
+      col("id"), lit(1.0).as("rank"), lit(Double.MaxValue).as("delta"))
+
+    def step(state: DataFrame, iter: Int): DataFrame = {
+      val sums = state.select(col("id"), col("rank"))
+        .join(sh, state("id") === sh("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("rank") * col("share")).as("insum"))
+      verts.join(sums, verts("id") === sums("dst"), "left")
+        .join(state.select(col("id").as("pid"), col("rank").as("prev")),
+          verts("id") === col("pid"))
+        .select(
+          verts("id"),
+          (lit(Teleport) + lit(Damping) * coalesce(col("insum"), lit(0.0)))
+            .as("rank"),
+          col("prev"))
+        .withColumn("delta", abs(col("rank") - col("prev")))
+        .drop("prev")
+        .repartition(parts, col("id"))
+    }
+
+    val res = Superstep.run(init, step, tol, maxIters, store)
+    sh.unpersist(false)
+    verts.unpersist(false)
+    res
+  }
+
+  /** Fixed-iteration variant of the same recurrence (oracle-checkable:
+    * the DuckDB oracle unrolls exactly `iters` steps).
+    */
+  def fixedIterations(
+      spark: SparkSession,
+      edges: DataFrame,
+      iters: Int): DataFrame = {
+    val res = run(spark, edges, tol = -1.0, maxIters = iters)
+    res.state.select("id", "rank")
+  }
+
+  /** Unrolled ANSI-SQL oracle for [[fixedIterations]] (DuckDB-runnable),
+    * quantizing ranks via floor(x*10^roundTo + 0.5) for float-stable hashing.
+    */
+  def oracleSql(edgesSql: String, iters: Int, roundTo: Int): String = {
+    // AS MATERIALIZED: DuckDB otherwise inlines each CTE at every reference —
+    // the unrolled chain references r_{k-1} once per step but `share`/`verts`
+    // many times, exploding the plan. (MATERIALIZED is DuckDB/Postgres syntax;
+    // oracle SQL is only ever run by DuckDB.)
+    val iterCtes = (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT v.id,
+         |         CAST($Teleport + $Damping * COALESCE(s.x, 0.0) AS DOUBLE) AS rank
+         |  FROM verts v LEFT JOIN (
+         |    SELECT sh.dst AS id, SUM(r.rank * sh.share) AS x
+         |    FROM share sh JOIN r${k - 1} r ON r.id = sh.src GROUP BY 1
+         |  ) s ON s.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |$edgesSql
+       |),
+       |verts AS MATERIALIZED (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+       |),
+       |outdeg AS (SELECT src AS id, COUNT(*) AS od FROM edges GROUP BY 1),
+       |share AS MATERIALIZED (
+       |  SELECT e.src, e.dst, 1.0 / o.od AS share
+       |  FROM edges e JOIN outdeg o ON o.id = e.src),
+       |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS rank FROM verts),
+       |$iterCtes
+       |SELECT id, CAST(FLOOR(rank * 1e$roundTo + 0.5) AS BIGINT) AS rank_q$roundTo
+       |FROM r$iters ORDER BY id""".stripMargin
+  }
+}

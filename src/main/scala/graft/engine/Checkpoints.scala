@@ -1,0 +1,106 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths, Path}
+import scala.jdk.CollectionConverters._
+
+/** Per-superstep state persistence. Replaces the reference engine's
+  * mutate-in-place shard files + `.deltalog`
+  * (/root/reference/src/engine/graphchi_engine.hpp:574-599): every superstep
+  * materializes the state table, truncates lineage (otherwise iterative plans
+  * grow without bound), and records per-partition row/byte metrics so a run
+  * can resume mid-iteration.
+  */
+trait StateStore {
+  /** Materialize + lineage-truncate `state` for superstep `iter`; returns the
+    * frame to use downstream. MUST be eager. */
+  def persist(state: DataFrame, iter: Int): DataFrame
+  /** Append a completed-superstep record (the `.deltalog` analog). */
+  def log(m: SuperstepMetrics): Unit
+  /** Most recent completed superstep `(iter, state)` for resume, if any. */
+  def resumePoint(): Option[(Int, DataFrame)]
+  /** Drop cached/earlier state no longer needed (best-effort). */
+  def release(state: DataFrame): Unit = ()
+}
+
+final case class PartitionMetric(partition: Int, bytes: Long)
+
+final case class SuperstepMetrics(
+    iter: Int,
+    rows: Long,
+    bytes: Long,
+    delta: Double,
+    active: Long,
+    wallSec: Double,
+    partitions: Seq[PartitionMetric]) {
+  def toJson: String = {
+    val parts = partitions
+      .map(p => s"""{"p":${p.partition},"bytes":${p.bytes}}""")
+      .mkString("[", ",", "]")
+    s"""{"iter":$iter,"rows":$rows,"bytes":$bytes,"delta":$delta,""" +
+      s""""active":$active,"wall_sec":$wallSec,"partitions":$parts}"""
+  }
+}
+
+/** Fast in-memory store for tests/benchmarks: `localCheckpoint` truncates
+  * lineage without durable IO. Not resumable across JVMs.
+  */
+final class LocalStore extends StateStore {
+  private var history: List[SuperstepMetrics] = Nil
+  override def persist(state: DataFrame, iter: Int): DataFrame =
+    state.localCheckpoint(true)
+  override def log(m: SuperstepMetrics): Unit = history ::= m
+  override def resumePoint(): Option[(Int, DataFrame)] = None
+  override def release(state: DataFrame): Unit =
+    try state.unpersist(false) catch { case _: Throwable => () }
+  def metrics: Seq[SuperstepMetrics] = history.reverse
+}
+
+/** Durable store: `dir/state/iter=K/` Parquet per superstep plus an
+  * append-only `manifest.jsonl`. Resume = last manifest entry whose state
+  * directory has a `_SUCCESS` marker. At cluster scale `dir` is an object
+  * store path; partition byte sizes come from the written part-files.
+  */
+final class DurableStore(spark: SparkSession, dir: String) extends StateStore {
+  private val root: Path = Paths.get(dir)
+  Files.createDirectories(root)
+  private val manifest: Path = root.resolve("manifest.jsonl")
+
+  private def stateDir(iter: Int): Path = root.resolve(s"state/iter=$iter")
+
+  override def persist(state: DataFrame, iter: Int): DataFrame = {
+    val out = stateDir(iter)
+    state.write.mode("overwrite").parquet(out.toString)
+    spark.read.parquet(out.toString)
+  }
+
+  /** Per-partition bytes of superstep `iter`'s parquet files. */
+  def partitionMetrics(iter: Int): Seq[PartitionMetric] = {
+    val out = stateDir(iter)
+    if (!Files.isDirectory(out)) return Nil
+    Files.list(out).iterator().asScala.toSeq
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .sortBy(_.getFileName.toString)
+      .zipWithIndex
+      .map { case (p, i) => PartitionMetric(i, Files.size(p)) }
+  }
+
+  override def log(m: SuperstepMetrics): Unit = {
+    Files.writeString(
+      manifest,
+      m.toJson + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+  }
+
+  override def resumePoint(): Option[(Int, DataFrame)] = {
+    if (!Files.exists(manifest)) return None
+    val iters = Files.readAllLines(manifest).asScala
+      .flatMap { line =>
+        """"iter":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toInt)
+      }
+    iters.sorted.reverse
+      .find(i => Files.exists(stateDir(i).resolve("_SUCCESS")))
+      .map(i => (i, spark.read.parquet(stateDir(i).toString)))
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.LinkGraph
+import graft.algos.{ConnectedComponents, LabelPropagation, PageRank, TriangleCount}
+
+/** End-to-end correctness of the four core algorithms on the sf0.001-derived
+  * link graph, against independent plain-Scala oracles (SURVEY.md §5).
+  */
+class AlgoSpec extends AnyFunSuite {
+  lazy val spark = TestSessions.spark
+  import spark.implicits._
+
+  lazy val edgesDf = LinkGraph.edges(spark, TestSessions.Sf0001).cache()
+  lazy val edgePairs: Seq[(Long, Long)] =
+    edgesDf.select("src", "dst").as[(Long, Long)].collect().toSeq
+
+  test("link graph derivation: disjoint id spaces, no self-edges, dedup") {
+    assert(edgePairs.nonEmpty)
+    assert(edgePairs.forall { case (s, d) => s != d })
+    assert(edgePairs.distinct.size == edgePairs.size)
+  }
+
+  test("pagerank converges to the oracle fixpoint (allclose 1e-6)") {
+    val res = PageRank.run(spark, edgesDf, tol = 1e-6, maxIters = 200)
+    assert(res.converged, s"did not converge in ${res.supersteps} supersteps")
+    val got = res.state.select("id", "rank").as[(Long, Double)].collect().toMap
+    // oracle iterated an order of magnitude tighter so its fixpoint error
+    // is negligible vs the 1e-6 comparison tolerance
+    val want = GraphOracles.pageRank(edgePairs, tol = 1e-9, maxIters = 500)
+    assert(got.keySet == want.keySet)
+    val maxErr = got.map { case (v, r) => math.abs(r - want(v)) }.max
+    assert(maxErr <= 2e-6, s"max |Δ| = $maxErr")
+  }
+
+  test("pagerank: dangling vertices keep teleport-only rank floor") {
+    // region vertices have no out-edges; their rank must still accumulate
+    // in-contributions (no redistribution of dangling mass).
+    val res = PageRank.run(spark, edgesDf, tol = 1e-6, maxIters = 200)
+    val ranks = res.state.select("id", "rank").as[(Long, Double)].collect().toMap
+    val regionIds = ranks.keySet.filter(_ < LinkGraph.NATION)
+    assert(regionIds.nonEmpty && regionIds.forall(ranks(_) > 0.15))
+  }
+
+  test("connected components match union-find oracle exactly") {
+    val got = ConnectedComponents.components(spark, edgesDf)
+      .as[(Long, Long)].collect().toMap
+    val want = GraphOracles.connectedComponents(edgePairs)
+    assert(got == want)
+  }
+
+  test("label propagation (5 sync rounds) matches oracle exactly") {
+    val got = LabelPropagation.run(spark, edgesDf, iters = 5)
+      .state.select("id", "label").as[(Long, Long)].collect().toMap
+    val want = GraphOracles.labelPropagation(edgePairs, iters = 5)
+    assert(got == want)
+  }
+
+  test("triangle count total + per-vertex match brute-force oracle") {
+    val (wantTotal, wantPer) = GraphOracles.triangles(edgePairs)
+    val gotTotal = TriangleCount.total(spark, edgesDf)
+      .as[Long].collect().head
+    assert(gotTotal == wantTotal)
+    val gotPer = TriangleCount.perVertex(spark, edgesDf)
+      .as[(Long, Long)].collect().toMap
+    assert(gotPer == wantPer)
+  }
+
+  test("triangle count is invariant under id permutation") {
+    // deterministic bijective permutation (order-reversing)
+    val permuted = edgesDf.select(
+      (lit(99999999L) - col("src")).as("src"),
+      (lit(99999999L) - col("dst")).as("dst"),
+      col("weight"))
+    val (wantTotal, _) = GraphOracles.triangles(edgePairs)
+    val gotTotal = TriangleCount.total(spark, permuted).as[Long].collect().head
+    assert(gotTotal == wantTotal)
+  }
+
+  test("component sizes report is ordered by size desc") {
+    val sizes = ConnectedComponents.componentSizes(
+      ConnectedComponents.components(spark, edgesDf))
+      .as[(Long, Long)].collect()
+    assert(sizes.map(_._2).toSeq == sizes.map(_._2).sortBy(-_).toSeq)
+    assert(sizes.map(_._2).sum == edgePairs.flatMap(e => Seq(e._1, e._2)).distinct.size)
+  }
+}
