@@ -13,7 +13,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize ints/floats
     for c in df.columns:
-        if pd.api.types.is_float_dtype(df[c]):
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64").round(9)
         elif pd.api.types.is_integer_dtype(df[c]) or str(df[c].dtype).startswith("UInt"):
             df[c] = df[c].astype("int64")

@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{LinkGraph, Tables}
 import graft.algos.{ConnectedComponents, LabelPropagation, PageRank, TriangleCount}
+import graft.text.{Dedup, TextStats}
+import graft.vectors.Similarity
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -102,7 +104,70 @@ object SparkEntry {
     "triangle_total" -> ((s, dir) =>
       TriangleCount.total(s, LinkGraph.edges(s, dir))),
     "triangle_per_vertex" -> ((s, dir) =>
-      TriangleCount.perVertex(s, LinkGraph.edges(s, dir)).orderBy(col("id")))
+      TriangleCount.perVertex(s, LinkGraph.edges(s, dir)).orderBy(col("id"))),
+
+    // ---- lakehouse derivation (north_rule input; generated, ignores dir) ---
+    "lakehouse_edges" -> ((s, _) => {
+      val files = graft.derive.CodeLakehouse.table(s, 20000L)
+      val (e, _) = graft.derive.EdgeDerive.derive(files)
+      e.orderBy(col("src"), col("dst"))
+    }),
+    "lakehouse_manifest" -> ((s, _) =>
+      graft.derive.CodeLakehouse.manifest(
+        graft.derive.CodeLakehouse.table(s, 5000L))
+        .orderBy(col("repo"), col("path"))),
+
+    // ---- dedup / text analysis over documents ------------------------------
+    "doc_exact_dedup" -> ((s, dir) =>
+      Dedup.exact(Tables(s, dir, "documents")).orderBy(col("text_md5"))),
+    "doc_token_counts" -> ((s, dir) =>
+      TextStats.tokenCounts(Tables(s, dir, "documents")).orderBy(col("doc_id"))),
+    "doc_quality" -> ((s, dir) =>
+      TextStats.quality(Tables(s, dir, "documents")).orderBy(col("doc_id"))),
+    "doc_fingerprint" -> ((s, dir) =>
+      TextStats.fingerprints(Tables(s, dir, "documents")).orderBy(col("doc_id"))),
+    "doc_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables(s, dir, "documents"), n = 3,
+        threshold = 0.8).orderBy(col("doc_a"), col("doc_b"))),
+    "doc_minhash_dedup" -> ((s, dir) =>
+      Dedup.minhashDedup(Tables(s, dir, "documents"), n = 3, threshold = 0.8)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "doc_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables(s, dir, "documents"), maxDist = 10)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "doc_langid" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      TextStats.langId(docs, TextStats.trainLangProfiles(docs))
+        .select(col("doc_id"), col("lang_pred")).orderBy(col("doc_id"))
+    }),
+
+    // ---- similarity search over embeddings ----------------------------------
+    "ann_brute_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "embedding_neardup" -> ((s, dir) =>
+      Similarity.nearDupPairs(Tables(s, dir, "embeddings"), threshold = 0.4,
+        bits = 6).orderBy(col("vec_a"), col("vec_b"))),
+
+    // ---- events: windowed aggregation (batch + streaming parity) -----------
+    "events_windowed" -> ((s, dir) =>
+      graft.streaming.EventStream.windowedCountsBatch(Tables(s, dir, "events"))
+        .orderBy(col("window_start"), col("event_type"))),
+
+    // ---- multimodal plumbing (synthetic binary media) -----------------------
+    "multimodal_features" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id")).limit(200)
+      val media = graft.multimodal.Multimodal.synthesize(s, docs, "doc_id")
+      graft.multimodal.Multimodal.extractFeatures(media)
+        .toDF().orderBy(col("media_id"))
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -148,6 +213,116 @@ object SparkEntry {
     },
     "label_propagation" -> LabelPropagation.oracleSql(E, LpaIters),
     "triangle_total" -> TriangleCount.totalOracleSql(E),
-    "triangle_per_vertex" -> TriangleCount.perVertexOracleSql(E)
+    "triangle_per_vertex" -> TriangleCount.perVertexOracleSql(E),
+
+    "doc_exact_dedup" ->
+      """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id,
+        |       CAST(COUNT(*) AS BIGINT) AS dup_cnt
+        |FROM documents GROUP BY 1 ORDER BY text_md5""".stripMargin,
+    "doc_token_counts" ->
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |    AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS DOUBLE) AS ntok,
+        |    CAST(len(list_filter(toks,
+        |      x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS nstop,
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS npunct,
+        |    CAST(length(text) AS DOUBLE) AS nchars,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nws
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, ntok,
+        |    CASE WHEN ntok > 0 THEN nstop / ntok ELSE 0.0 END AS stop_ratio,
+        |    CASE WHEN nchars > 0 THEN npunct / nchars ELSE 0.0 END AS punct_ratio,
+        |    CASE WHEN ntok > 0 THEN nws / ntok ELSE 0.0 END AS mean_tok_len
+        |  FROM m)
+        |SELECT doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+        |  CAST(FLOOR(stop_ratio * 1e6 + 0.5) AS BIGINT) AS stop_ratio_q6,
+        |  CAST(FLOOR(punct_ratio * 1e6 + 0.5) AS BIGINT) AS punct_ratio_q6,
+        |  CAST(FLOOR(mean_tok_len * 1e6 + 0.5) AS BIGINT) AS mean_tok_len_q6,
+        |  CAST(FLOOR((LEAST(ntok / 50.0, 1.0) * 0.4
+        |    + LEAST(stop_ratio * 10.0, 1.0) * 0.2
+        |    + (CASE WHEN mean_tok_len BETWEEN 3.0 AND 10.0
+        |            THEN 1.0 ELSE 0.0 END) * 0.2
+        |    + (1.0 - LEAST(punct_ratio * 5.0, 1.0)) * 0.2) * 1e6 + 0.5)
+        |    AS BIGINT) AS quality_q6
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, md5(text) AS text_md5,
+        |         regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id, text_md5,
+        |  CASE WHEN len(toks) >= 5 THEN
+        |    list_min(list_transform(range(1, len(toks) - 3),
+        |      i -> md5(array_to_string(toks[i:i+4], ' '))))
+        |  ELSE text_md5 END AS min_shingle_md5
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "doc_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |sh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 1),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |freq AS (SELECT shingle FROM sh GROUP BY shingle
+        |         HAVING COUNT(*) BETWEEN 2 AND 1000),
+        |shr AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN freq USING (shingle)),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM shr a JOIN shr b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter,
+        |  CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+        |  CAST(FLOOR(inter / (sa.sz + sb.sz - inter) * 1e6 + 0.5) AS BIGINT)
+        |    AS jaccard_q6
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "ann_brute_topk" ->
+      """WITH c AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS MATERIALIZED (
+        |  SELECT vec_id, v,
+        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nn
+        |  FROM c),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nn AS qn FROM n
+        |      WHERE vec_id < 10),
+        |sims AS (
+        |  SELECT q.query_id, n.vec_id,
+        |    list_sum(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]))
+        |      / (n.nn * q.qn) AS cos
+        |  FROM n JOIN q ON n.vec_id <> q.query_id),
+        |r AS (
+        |  SELECT query_id, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, vec_id) AS rank
+        |  FROM sims)
+        |SELECT query_id, vec_id,
+        |  CAST(FLOOR(cos * 1e6 + 0.5) AS BIGINT) AS cos_q6,
+        |  CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "events_windowed" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(FLOOR(SUM(value) * 1e4 + 0.5) AS BIGINT) AS sum_value_q4
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -47,7 +47,7 @@ object ConnectedComponents {
     def step(state: DataFrame, iter: Int): DataFrame = {
       // Frontier: only vertices that changed last round emit their label.
       val frontier = state.filter(col("delta") > 0)
-        .select(col("id"), col("label"))
+        .select(col("id"), col("label")).hint("shuffle_hash")
       val msgs = frontier
         .join(und, frontier("id") === und("src"))
         .groupBy(col("dst"))
@@ -59,7 +59,8 @@ object ConnectedComponents {
             .as("label"),
           when(coalesce(col("mlabel"), state("label")) < state("label"), 1.0)
             .otherwise(0.0).as("delta"))
-        .repartition(parts, col("id"))
+      // no repartition: the apply join preserves hash(id) partitioning
+      // (state side), keeping every superstep's scatter join exchange-free
     }
 
     val res = Superstep.run(init, step, tol = 0.0, maxIters = maxIters, store)

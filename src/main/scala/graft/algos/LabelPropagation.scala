@@ -47,7 +47,7 @@ object LabelPropagation {
       .select(col("id"), col("id").as("label"), lit(1.0).as("delta"))
 
     def step(state: DataFrame, iter: Int): DataFrame = {
-      val msgs = state.select(col("id"), col("label"))
+      val msgs = state.select(col("id"), col("label")).hint("shuffle_hash")
         .join(und, state("id") === und("src"))
         .select(col("dst"), col("label"))
       // most frequent label, tie -> larger label
@@ -61,7 +61,7 @@ object LabelPropagation {
           coalesce(col("nlabel"), state("label")).as("label"),
           when(coalesce(col("nlabel"), state("label")) =!= state("label"), 1.0)
             .otherwise(0.0).as("delta"))
-        .repartition(parts, col("id"))
+      // no repartition: apply join preserves the state side's hash(id)
     }
 
     Superstep.run(init, step, tol = 0.0, maxIters = iters, store)

@@ -52,34 +52,35 @@ object PageRank {
 
     val sh = shares(edges).repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val verts = LinkGraph.vertices(edges).repartition(parts, col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    verts.count() // materialize static sides once
+    sh.count() // materialize the static side once
 
-    val init = verts.select(
-      col("id"), lit(1.0).as("rank"), lit(Double.MaxValue).as("delta"))
+    // The state itself is the vertex list: (id, rank, delta), hash-partitioned
+    // by id. Keeping state and shares co-partitioned on the vertex id makes
+    // the scatter join exchange-free; the only shuffle per superstep is the
+    // gather groupBy(dst), and the apply join reuses its partitioning.
+    val init = LinkGraph.vertices(edges).repartition(parts, col("id"))
+      .select(col("id"), lit(1.0).as("rank"), lit(Double.MaxValue).as("delta"))
 
     def step(state: DataFrame, iter: Int): DataFrame = {
-      val sums = state.select(col("id"), col("rank"))
+      // SHUFFLE_HASH on the (small) state side: a sort-merge join would
+      // re-sort the E-row share table every superstep; hashing V rows wins
+      val sums = state.select(col("id"), col("rank")).hint("shuffle_hash")
         .join(sh, state("id") === sh("src"))
         .groupBy(col("dst"))
         .agg(sum(col("rank") * col("share")).as("insum"))
-      verts.join(sums, verts("id") === sums("dst"), "left")
-        .join(state.select(col("id").as("pid"), col("rank").as("prev")),
-          verts("id") === col("pid"))
+      val prev = state.select(col("id"), col("rank").as("prev"))
+      prev.join(sums, prev("id") === sums("dst"), "left")
         .select(
-          verts("id"),
+          prev("id"),
           (lit(Teleport) + lit(Damping) * coalesce(col("insum"), lit(0.0)))
             .as("rank"),
           col("prev"))
         .withColumn("delta", abs(col("rank") - col("prev")))
         .drop("prev")
-        .repartition(parts, col("id"))
     }
 
     val res = Superstep.run(init, step, tol, maxIters, store)
     sh.unpersist(false)
-    verts.unpersist(false)
     res
   }
 

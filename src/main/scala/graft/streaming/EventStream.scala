@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+/** Structured-Streaming operators. The reference's "streaming" is an
+  * evolving-graph engine (/root/reference/src/engine/dynamic_graphs/
+  * graphchi_dynamicgraph_engine.hpp:289-373 — buffered edge ingest spliced
+  * into shards between iterations), not stream-relational processing; the
+  * Spark-native equivalents are (a) watermarked windowed aggregation over an
+  * event stream and (b) micro-batch edge ingest via `foreachBatch` appending
+  * to the edge table (re-running affected analytics per batch).
+  */
+object EventStream {
+
+  /** Batch-equivalent of [[windowedCounts]] for oracle checks: tumbling
+    * 1-hour windows per event_type.
+    */
+  def windowedCountsBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(
+        date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        floor(sum(col("value")) * 1e4 + 0.5).cast("long").as("sum_value_q4"))
+
+  /** Streaming windowed aggregation with a watermark: 1-hour tumbling
+    * windows per event_type, 2-hour late-data watermark.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      // file sources deliver TIMESTAMP_NTZ; watermarks need TIMESTAMP
+      // (session TZ is UTC so the cast is value-preserving)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        floor(sum(col("value")) * 1e4 + 0.5).cast("long").as("sum_value_q4"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value_q4"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  final case class SessionAgg(user_id: Long, events: Long, total: Double)
+
+  /** Custom per-key state: running per-user totals via mapGroupsWithState
+    * (the `KeyValueGroupedDataset` stateful path).
+    */
+  def userTotals(events: Dataset[Event]): Dataset[SessionAgg] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[SessionAgg]) =>
+          val prev = state.getOption.getOrElse(SessionAgg(uid, 0L, 0.0))
+          var n = prev.events
+          var tot = prev.total
+          evs.foreach { e => n += 1; tot += e.value }
+          val next = SessionAgg(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Drive a streaming query synchronously over a static parquet directory
+    * (file-source micro-batches) into an in-memory sink; returns the final
+    * table. Used by tests and the streaming smoke query.
+    */
+  def runOnce(spark: SparkSession, parquetPath: String,
+      transform: DataFrame => DataFrame, queryName: String,
+      outputMode: String = "append"): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val stream = spark.readStream.schema(schema).parquet(parquetPath)
+    val q = transform(stream).writeStream
+      .outputMode(outputMode)
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  /** Evolving-graph ingest: stream edge rows in micro-batches, append each
+    * batch to an accumulating edge table and recompute an analytic per batch
+    * (the dataflow replacement for dynamic shard splicing). Returns the
+    * per-batch row counts observed.
+    */
+  def evolvingEdgeIngest(spark: SparkSession, edgeParquetPath: String,
+      analytic: DataFrame => DataFrame, queryName: String): Seq[Long] = {
+    val schema = spark.read.parquet(edgeParquetPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(edgeParquetPath)
+    val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var acc: Option[DataFrame] = None
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.persist()
+        acc = Some(acc.map(_.unionAll(b)).getOrElse(b))
+        counts += analytic(acc.get).count()
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    counts.toSeq
+  }
+}

@@ -1,0 +1,160 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps._
+
+/** Deduplication suite for a `documents(doc_id, text, ...)` table — the
+  * training-data-pipeline operators a 100 TB corpus needs. All variants are
+  * pure DataFrame dataflow (hash built-ins, no UDFs):
+  *
+  *  - exact:     md5(text) group, keep min doc_id
+  *  - n-gram Jaccard: exact token-shingle Jaccard over a shingle equi-join
+  *  - MinHash+LSH: 32 xxhash64 "permutations", 8 bands × 4 rows, banded
+  *    bucket join for candidates, exact Jaccard verification
+  *  - SimHash:  64-bit token-hash sign aggregate, 4×16-bit banded index,
+  *    Hamming ≤ maxDist verification via bit_count(xor)
+  *
+  * Scale notes: every candidate-generation path is a join on a *bounded*
+  * key (shingle, band signature, 16-bit chunk) with map-side-combinable
+  * aggregations; nothing ever pairs all documents. Hot shingles (boilerplate)
+  * are the skew risk for the exact-Jaccard join — `maxShingleFreq` drops
+  * shingles shared by more than that many docs (standard near-dup practice:
+  * ubiquitous shingles carry no signal but quadratic cost).
+  */
+object Dedup {
+
+  /** (text_md5, keep_id, dup_cnt): one row per distinct text. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** Distinct (doc_id, shingle) pairs. */
+  def docShingles(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"),
+      explode(shingles(tokens(col("text")), n)).as("shingle"))
+      .distinct()
+
+  /** Exact n-gram Jaccard near-dup pairs: (doc_a, doc_b, inter, size_a,
+    * size_b, jaccard_q6) for pairs with Jaccard >= threshold, doc_a < doc_b.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+      maxShingleFreq: Long = 1000L): DataFrame = {
+    val sh = docShingles(docs, n)
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxShingleFreq && col("df") >= 2)
+      .select("shingle")
+    val shr = sh.join(rare, "shingle")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val a = shr.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = shr.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = a.join(b, "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("size_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("size_b")), "doc_b")
+      .withColumn("jaccard",
+        col("inter") / (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("size_a"),
+        col("size_b"),
+        floor(col("jaccard") * 1e6 + 0.5).cast("long").as("jaccard_q6"))
+  }
+
+  /** MinHash band signatures: (doc_id, band, band_sig). 32 hash functions
+    * h_i(s) = xxhash64(i, s), `bands` bands of `rowsPerBand` each.
+    */
+  def minhashBands(docs: DataFrame, n: Int, bands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
+    val nHashes = bands * rowsPerBand
+    val sh = docShingles(docs, n)
+    val hashed = sh.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(nHashes - 1)),
+        i => struct(i.as("i"), xxhash64(i, col("shingle")).as("h")))).as("ih"))
+      .select(col("doc_id"), col("ih.i").as("i"), col("ih.h").as("h"))
+    val mins = hashed.groupBy("doc_id", "i").agg(min("h").as("minh"))
+    mins
+      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(md5(concat_ws(",", sort_array(
+        collect_list(concat_ws(":", col("i"), col("minh")))))).as("band_sig"))
+  }
+
+  /** LSH candidate pairs (doc_a < doc_b) from shared band signatures. */
+  def minhashCandidates(bandsDf: DataFrame): DataFrame = {
+    val l = bandsDf.select(col("doc_id").as("doc_a"), col("band"), col("band_sig"))
+    val r = bandsDf.select(col("doc_id").as("doc_b"), col("band"), col("band_sig"))
+    l.join(r, Seq("band", "band_sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** MinHash+LSH near-dup detection with exact-Jaccard verification of the
+    * candidate set: (doc_a, doc_b, jaccard_q6) with jaccard >= threshold.
+    */
+  def minhashDedup(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    val cand = minhashCandidates(minhashBands(docs, n))
+    val sh = docShingles(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle").as("s2")), "doc_b")
+      .filter(col("shingle") === col("s2"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("size_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("size_b")), "doc_b")
+      .withColumn("jaccard",
+        col("inter") / (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"),
+        floor(col("jaccard") * 1e6 + 0.5).cast("long").as("jaccard_q6"))
+  }
+
+  /** 64-bit SimHash per document over token features (token frequency as
+    * weight): (doc_id, simhash).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("w"))
+      .withColumn("h", xxhash64(col("token")))
+    val bits = tok.select(col("doc_id"), col("w"), col("h"),
+      explode(sequence(lit(0), lit(63))).as("bit"))
+      .withColumn("contrib",
+        when(expr("shiftright(h, CAST(bit AS INT)) & 1") === 1,
+          col("w")).otherwise(-col("w")))
+      .groupBy("doc_id", "bit").agg(sum("contrib").as("s"))
+    bits.groupBy("doc_id")
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))")).otherwise(0L))
+        .as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxDist, found via the
+    * 4×16-bit chunk pigeonhole index (dist <= 3 ⇒ some chunk equal).
+    */
+  def simhashPairs(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        """transform(sequence(0, 3), c -> struct(
+          |  c AS chunk,
+          |  shiftright(simhash, CAST(c * 16 AS INT)) & 65535 AS ckey))"""
+          .stripMargin)).as("cc"))
+      .select(col("doc_id"), col("simhash"),
+        col("cc.chunk").as("chunk"), col("cc.ckey").as("ckey"))
+    val l = chunked.select(col("doc_id").as("doc_a"),
+      col("simhash").as("sim_a"), col("chunk"), col("ckey"))
+    val r = chunked.select(col("doc_id").as("doc_b"),
+      col("simhash").as("sim_b"), col("chunk"), col("ckey"))
+    l.join(r, Seq("chunk", "ckey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sim_a", "sim_b").distinct()
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("doc_a", "doc_b", "hamming")
+  }
+}

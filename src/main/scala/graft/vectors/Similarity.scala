@@ -1,0 +1,130 @@
+package graft.vectors
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`):
+  * brute-force cosine top-k as the exact baseline, and a signed-random-
+  * projection (SRP) LSH-bucketed variant as the scale path. Dot products are
+  * `zip_with`/`aggregate` column expressions (codegen'd, no UDFs).
+  *
+  * Scale notes: brute force is a broadcast of the (small) query set against
+  * the corpus — linear scan, embarrassingly parallel, the right baseline up
+  * to ~10^9 vectors × few queries. The SRP variant buckets the corpus once
+  * (16-bit signature → 65k buckets) and probes only matching buckets
+  * (optionally Hamming-1 neighbors), turning per-query cost from O(N) into
+  * O(N / 2^bits × probes) at recall governed by the bit count.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as a column expression over two array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  /** Deterministic ±1 hyperplanes: `bits` planes × `dim` components.
+    * The seed is scrambled (splitmix-style) — java.util.Random instances
+    * with nearby raw seeds produce correlated streams.
+    */
+  def hyperplanes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    val rnd = new java.util.Random(z ^ (z >>> 31))
+    Array.fill(bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** SRP-LSH bucket id per vector: bit i = [dot(v, plane_i) > 0]. */
+  def srpBucket(vec: Column, planes: Array[Array[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedLit(p.toSeq)) > 0, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** Exact cosine top-k of each query vector against the corpus.
+    * (query_id, vec_id, cos_q6, rank) — ties broken by vec_id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val sims = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cos", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"),
+        floor(col("cos") * 1e6 + 0.5).cast("long").as("cos_q6"), col("rank"))
+  }
+
+  /** Multi-table SRP-LSH approximate top-k: `tables` independent hash
+    * tables of `bits` hyperplanes each; candidates = vectors sharing any
+    * table bucket with the query, exact-reranked by cosine. Recall/cost is
+    * tuned by (bits, tables): fewer bits or more tables → higher recall,
+    * more candidates (this is the IVF-style "probe a few cells" scale path:
+    * per-query cost O(tables × N / 2^bits) instead of O(N)).
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      bits: Int = 6, tables: Int = 12, seed: Long = 42L,
+      dim: Int = 64): DataFrame = {
+    val planeSets = (0 until tables)
+      .map(t => hyperplanes(bits, dim, seed + 1000L * t))
+    def bucketed(df: DataFrame, idCol: String, vecCol: String) =
+      df.select(col(idCol), col(vecCol),
+        explode(array(planeSets.zipWithIndex.map { case (p, t) =>
+          struct(lit(t).as("t"), srpBucket(col(vecCol), p).as("b"))
+        }: _*)).as("tb"))
+        .select(col(idCol), col("tb.t").as("t"), col("tb.b").as("b"))
+    val c = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val cand = bucketed(c, "vec_id", "cv")
+      .join(bucketed(q, "query_id", "qv"), Seq("t", "b"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id").distinct()
+      .join(c, "vec_id").join(q, "query_id")
+      .withColumn("cos", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"),
+        floor(col("cos") * 1e6 + 0.5).cast("long").as("cos_q6"), col("rank"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold, found via shared
+    * SRP bucket (+ Hamming-1) then exact verification. (vec_a < vec_b.)
+    */
+  def nearDupPairs(corpus: DataFrame, threshold: Double,
+      bits: Int = 12, seed: Long = 42L, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(bits, dim, seed)
+    val c = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+      .withColumn("n", l2norm(col("v")))
+      .withColumn("bucket0", srpBucket(col("v"), planes))
+    // index each vector under its own bucket and all Hamming-1 buckets of
+    // the *lower*-id side only (so each near pair meets at least once)
+    val probed = c.select(col("vec_id"), col("v"), col("n"),
+      explode(array(
+        (col("bucket0") +: (0 until bits).map(i =>
+          col("bucket0").bitwiseXOR(lit(1L << i)))): _*)).as("bucket"))
+    val l = probed.select(col("vec_id").as("vec_a"), col("v").as("va"),
+      col("n").as("na"), col("bucket"))
+    val r = c.select(col("vec_id").as("vec_b"), col("v").as("vb"),
+      col("n").as("nb"), col("bucket0").as("bucket"))
+    l.join(r, "bucket")
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy("vec_a", "vec_b")
+      .agg(floor(max(col("cos")) * 1e6 + 0.5).cast("long").as("cos_q6"))
+  }
+}

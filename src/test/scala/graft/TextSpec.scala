@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Tables
+import graft.text.{Dedup, TextStats}
+
+class TextSpec extends AnyFunSuite {
+  lazy val spark = TestSessions.spark
+  import spark.implicits._
+
+  lazy val docs = Tables(spark, TestSessions.Sf0001, "documents").cache()
+
+  private def mkDocs(rows: Seq[(Long, String)]) =
+    rows.toDF("doc_id", "text")
+
+  test("token counts match a plain-Scala split") {
+    val got = TextStats.tokenCounts(docs)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val want = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> ((t.length.toLong, t.trim.split("\\s+").count(_.nonEmpty).toLong))
+      }.toMap
+    assert(got == want)
+  }
+
+  test("exact dedup keeps the min doc_id per identical text") {
+    val d = mkDocs(Seq(1L -> "a b c", 2L -> "a b c", 3L -> "x y", 7L -> "a b c"))
+    val got = Dedup.exact(d)
+      .select("keep_id", "dup_cnt").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L), (3L, 1L)))
+  }
+
+  test("ngram jaccard pairs match a plain-Scala shingle computation") {
+    val got = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
+      .select("doc_a", "doc_b", "jaccard_q6")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+
+    val local = docs.select("doc_id", "text").as[(Long, String)].collect()
+    def sh(t: String): Set[String] = {
+      val toks = t.trim.split("\\s+").toSeq
+      if (toks.size < 3) Set.empty
+      else toks.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val sets = local.map { case (id, t) => id -> sh(t) }.toMap
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      inter = (sa & sb).size
+      if inter > 0
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= 0.5
+    } yield (a, b) -> math.floor(j * 1e6 + 0.5).toLong).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "corpus should contain planted near-dups")
+  }
+
+  test("minhash LSH finds every high-jaccard pair the exact method finds") {
+    val exact = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val mh = Dedup.minhashDedup(docs, n = 3, threshold = 0.9)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    // 8 bands × 4 rows: P(miss | J=0.9) = (1-0.9^4)^8 ≈ 4e-3 per pair — with
+    // fixed seeds this is deterministic; assert full recall on this corpus
+    assert(exact.subsetOf(mh), s"missed: ${exact -- mh}")
+    // and minhash never reports below-threshold pairs (exact verification)
+    assert(mh.subsetOf(
+      Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.9)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet))
+  }
+
+  test("simhash: identical docs collide, near-dups land within distance") {
+    val d = mkDocs(Seq(
+      1L -> "spark join filter window group sort merge data table scan",
+      2L -> "spark join filter window group sort merge data table scan",
+      3L -> "spark join filter window group sort merge data table scans",
+      4L -> "completely different words entirely unrelated content here now"))
+    val hashes = Dedup.simhash(d).as[(Long, Long)].collect().toMap
+    assert(hashes(1L) == hashes(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hashes(1L), hashes(3L)) <= 16)
+    assert(ham(hashes(1L), hashes(4L)) > 16)
+    val pairs = Dedup.simhashPairs(d, maxDist = 16)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("langid is deterministic and assigns every doc a trained language") {
+    val profiles = TextStats.trainLangProfiles(docs)
+    val a = TextStats.langId(docs, profiles)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    val b = TextStats.langId(docs, profiles)
+      .select("doc_id", "lang_pred").as[(Long, String)].collect().toMap
+    assert(a == b)
+    assert(a.size == docs.count())
+    val langs = docs.select("lang").distinct().as[String].collect().toSet
+    assert(a.values.toSet.subsetOf(langs))
+  }
+
+  test("fingerprints: identical texts share both hashes; short docs fall back") {
+    val d = mkDocs(Seq(1L -> "a b c d e f g", 2L -> "a b c d e f g", 3L -> "x y"))
+    val fp = TextStats.fingerprints(d, n = 5)
+      .select("doc_id", "text_md5", "min_shingle_md5")
+      .as[(Long, String, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(3L)._1 == fp(3L)._2) // < n tokens → fallback to full-text md5
+  }
+}
