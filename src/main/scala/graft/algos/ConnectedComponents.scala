@@ -36,6 +36,7 @@ object ConnectedComponents {
     val und = LinkGraph.undirected(edges.select("src", "dst", "weight"))
       .select("src", "dst").distinct()
       .repartition(parts, col("src"))
+      .sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     und.count()
 
@@ -47,7 +48,7 @@ object ConnectedComponents {
     def step(state: DataFrame, iter: Int): DataFrame = {
       // Frontier: only vertices that changed last round emit their label.
       val frontier = state.filter(col("delta") > 0)
-        .select(col("id"), col("label")).hint("shuffle_hash")
+        .select(col("id"), col("label"))
       val msgs = frontier
         .join(und, frontier("id") === und("src"))
         .groupBy(col("dst"))

@@ -40,6 +40,7 @@ object LabelPropagation {
     val und = LinkGraph.undirected(edges.select("src", "dst", "weight"))
       .select("src", "dst").distinct()
       .repartition(parts, col("src"))
+      .sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     und.count()
 
@@ -47,7 +48,7 @@ object LabelPropagation {
       .select(col("id"), col("id").as("label"), lit(1.0).as("delta"))
 
     def step(state: DataFrame, iter: Int): DataFrame = {
-      val msgs = state.select(col("id"), col("label")).hint("shuffle_hash")
+      val msgs = state.select(col("id"), col("label"))
         .join(und, state("id") === und("src"))
         .select(col("dst"), col("label"))
       // most frequent label, tie -> larger label

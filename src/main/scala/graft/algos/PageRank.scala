@@ -38,19 +38,28 @@ object PageRank {
   }
 
   /** Run to convergence. Returns state (id, rank, delta) + metrics. */
+  /** @param saltBuckets when > 0, the gather aggregation is two-level salted
+    *   (graft.core.Skew.saltedSum) — the explicit skew path for graphs where
+    *   hot vertices defeat map-side partial aggregation.
+    */
   def run(
       spark: SparkSession,
       edges: DataFrame,
       tol: Double = 1e-6,
       maxIters: Int = 100,
       store: StateStore = new LocalStore,
-      numPartitions: Int = 0): Superstep.RunResult = {
+      numPartitions: Int = 0,
+      saltBuckets: Int = 0): Superstep.RunResult = {
 
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
+    // Pre-sorted within hash partitions: the cached relation advertises its
+    // outputOrdering, so the per-superstep sort-merge scatter join never
+    // re-sorts the E-row side — only the V-row state side sorts each round.
     val sh = shares(edges).repartition(parts, col("src"))
+      .sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     sh.count() // materialize the static side once
 
@@ -62,12 +71,17 @@ object PageRank {
       .select(col("id"), lit(1.0).as("rank"), lit(Double.MaxValue).as("delta"))
 
     def step(state: DataFrame, iter: Int): DataFrame = {
-      // SHUFFLE_HASH on the (small) state side: a sort-merge join would
-      // re-sort the E-row share table every superstep; hashing V rows wins
-      val sums = state.select(col("id"), col("rank")).hint("shuffle_hash")
+      val scattered = state.select(col("id"), col("rank"))
         .join(sh, state("id") === sh("src"))
-        .groupBy(col("dst"))
-        .agg(sum(col("rank") * col("share")).as("insum"))
+      val sums =
+        if (saltBuckets > 0)
+          graft.core.Skew.saltedSum(
+            scattered.select(col("dst"), col("src"),
+              (col("rank") * col("share")).as("contrib")),
+            "dst", "contrib", "insum", saltBuckets, col("src"))
+        else
+          scattered.groupBy(col("dst"))
+            .agg(sum(col("rank") * col("share")).as("insum"))
       val prev = state.select(col("id"), col("rank").as("prev"))
       prev.join(sums, prev("id") === sums("dst"), "left")
         .select(

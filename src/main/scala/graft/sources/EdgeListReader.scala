@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the reference's ingest formats
+  * (/root/reference/src/preprocessing/conversions.hpp) — each is a small
+  * declarative parse over `spark.read.text`, with the same cleaning rules:
+  * `#`/`%` comment lines skipped, self-edges dropped
+  * (conversions.hpp:232-233,261).
+  */
+object EdgeListReader {
+
+  private def rawLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .filter(!col("value").startsWith("#") && !col("value").startsWith("%"))
+
+  /** `src <tab/space> dst [value]` (conversions.hpp:212-288).
+    * Missing value → defaultValue, matching the parser overloads'
+    * vertex-data default.
+    */
+  def edgeList(spark: SparkSession, path: String,
+      defaultValue: Double = 1.0): DataFrame = {
+    val parts = split(trim(col("value")), "[\\t ]+")
+    rawLines(spark, path).select(
+      element_at(parts, 1).cast("long").as("src"),
+      element_at(parts, 2).cast("long").as("dst"),
+      coalesce(try_element_at(parts, lit(3)).cast("double"),
+        lit(defaultValue)).as("weight"))
+      .filter(col("src") =!= col("dst"))
+  }
+
+  /** Adjacency list `src N nbr1 .. nbrN` (conversions.hpp:296-347). */
+  def adjList(spark: SparkSession, path: String): DataFrame = {
+    val parts = split(trim(col("value")), "[\\t ]+")
+    rawLines(spark, path)
+      .select(element_at(parts, 1).cast("long").as("src"),
+        slice(parts, lit(3), element_at(parts, 2).cast("int")).as("nbrs"))
+      .select(col("src"), explode(col("nbrs")).as("nbr"))
+      .select(col("src"), col("nbr").cast("long").as("dst"),
+        lit(1.0).as("weight"))
+      .filter(col("src") =!= col("dst"))
+  }
+
+  /** FRAP typed provenance edge list `src dst srcT:dstT:edgeT`
+    * (produced by myapps/jsonparser.cpp:259-265, parsed myapps/main.cpp:
+    * 38-62 into type_label{..}).
+    */
+  def typedEdgeList(spark: SparkSession, path: String,
+      graphId: String = "g0"): DataFrame = {
+    val parts = split(trim(col("value")), "[\\t ]+")
+    val types = split(element_at(parts, 3), ":")
+    rawLines(spark, path).select(
+      lit(graphId).as("graph_id"),
+      element_at(parts, 1).cast("long").as("src"),
+      element_at(parts, 2).cast("long").as("dst"),
+      element_at(types, 1).cast("int").as("src_type"),
+      element_at(types, 2).cast("int").as("dst_type"),
+      element_at(types, 3).cast("int").as("edge_type"))
+  }
+
+  /** MatrixMarket coordinate format: `%%MatrixMarket` header + `%` comments,
+    * first data row = dims, then `row col [value]`, 1-indexed
+    * (conversions.hpp:380-440 / the CF toolkit's MM reader).
+    */
+  def matrixMarket(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .filter(!col("value").startsWith("%"))
+    // drop the dims row: it is the unique row whose (src,dst) are the max
+    // bounds; simpler and deterministic — tag rows by order within the file
+    val parts = split(trim(col("value")), "[\\t ]+")
+    val withIdx = lines
+      .withColumn("fname", input_file_name())
+      .rdd.zipWithIndex.map { case (r, i) => (r.getString(0), i) }
+    val spark2 = spark
+    import spark2.implicits._
+    val df = withIdx.toDF("value", "idx")
+    val p2 = split(trim(col("value")), "[\\t ]+")
+    df.filter(col("idx") > 0)
+      .select(element_at(p2, 1).cast("long").as("src"),
+        element_at(p2, 2).cast("long").as("dst"),
+        coalesce(try_element_at(p2, lit(3)).cast("double"), lit(1.0))
+          .as("weight"))
+      .filter(col("src") =!= col("dst"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.frap._
+
+class FrapSpec extends AnyFunSuite {
+  lazy val spark = TestSessions.spark
+  import spark.implicits._
+
+  test("count_distribution back-off: sums to 1, zeros get mass") {
+    val d = Kernels.countDistribution(Array(4, 0, 4, 0), backOff = true)
+    assert(math.abs(d.sum - 1.0) < 1e-12)
+    assert(d(1) > 0 && d(3) > 0)
+    val plain = Kernels.countDistribution(Array(4, 0, 4, 0), backOff = false)
+    assert(plain.toSeq == Seq(0.5, 0.0, 0.5, 0.0))
+  }
+
+  test("distances: identity, symmetry, reference formulas") {
+    val a = Array(3, 1, 0, 2)
+    val b = Array(1, 0, 4, 1)
+    for (m <- Seq(Kernels.KullbackLeibler, Kernels.Hellinger, Kernels.Euclidean)) {
+      assert(Kernels.distance(m, a, a) == 0.0)
+      assert(math.abs(Kernels.distance(m, a, b) - Kernels.distance(m, b, a)) < 1e-12)
+    }
+    assert(Kernels.distance(Kernels.Euclidean, a, b) ==
+      math.sqrt(4 + 1 + 16 + 1))
+  }
+
+  test("WL relabeling: isomorphic graphs get identical kernel histograms") {
+    val g1 = ProvGen.normal("a", seed = 7)
+    // isomorphic copy: shift all vertex ids, same structure
+    val g2 = g1.map(e => e.copy(graph_id = "b", src = e.src + 1000,
+      dst = e.dst + 1000))
+    val edges = (g1 ++ g2).toDF()
+    val counts = WLRelabel.kernelCounts(WLRelabel.run(edges, iters = 3))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byGraph = counts.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.map(x => (x._2, x._3)).toSet
+    }
+    assert(byGraph("a") == byGraph("b"))
+  }
+
+  test("WL relabeling distinguishes structurally different graphs") {
+    val edges = (ProvGen.normal("n", 7) ++ ProvGen.abnormal("x", 7)).toDF()
+    val counts = WLRelabel.kernelCounts(WLRelabel.run(edges, iters = 3))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byGraph = counts.groupBy(_._1).map { case (g, xs) =>
+      g -> xs.map(x => (x._2, x._3)).toSet
+    }
+    assert(byGraph("n") != byGraph("x"))
+  }
+
+  test("distributed Euclidean matrix matches the driver-side formula") {
+    val edges = ProvGen.corpus(spark, nNormal = 4, nAbnormal = 1)
+    val wl = WLRelabel.run(edges, iters = 2)
+    val counts = WLRelabel.kernelCounts(wl).cache()
+    val ids = counts.select("graph_id").distinct()
+      .as[String].collect().sorted.toSeq
+    val dict = Kernels.dictionary(counts)
+    val dsize = dict.count().toInt
+    val arr = Kernels.countArrays(counts, dict, dsize).collect()
+      .map(r => r.getString(0) -> r.getSeq[Int](1).toArray).toMap
+    val got = Kernels.euclideanMatrix(counts)
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for (i <- ids.indices; j <- i + 1 until ids.size) {
+      val want = Kernels.distance(Kernels.Euclidean, arr(ids(i)), arr(ids(j)))
+      val key = if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
+      assert(math.abs(got(key) - want) < 1e-9, s"pair $key")
+    }
+  }
+
+  test("kmeans prior + kmeans: single behavior family forms one big cluster") {
+    val arrays = (0 until 8).map { i =>
+      Array(40 + i, 20, 10 + (i % 3), 5, 1)
+    }.toVector
+    val profile = Frap.learnProfile(arrays)
+    assert(profile.centroids.nonEmpty)
+    assert(profile.memberArrays.size >= (8 * 0.2).toInt)
+  }
+
+  test("end-to-end FRAP: held-out normal passes, abnormal is flagged") {
+    val edges = ProvGen.corpus(spark, nNormal = 11, nAbnormal = 1)
+    val learn = (0 until 10).map(i => f"normal-$i%03d")
+    val verdicts = FrapPipeline.run(edges, learn,
+      Seq("normal-010", "bad-000"), iters = 4)
+    val byId = verdicts.map(v => v.graphId -> v).toMap
+    assert(!byId("normal-010").abnormal,
+      s"held-out normal flagged: ${byId("normal-010")}")
+    assert(byId("bad-000").abnormal || !byId("bad-000").withinRadius,
+      s"abnormal instance not flagged: ${byId("bad-000")}")
+    assert(byId("bad-000").minDistance > byId("normal-010").minDistance)
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.LinkGraph
+import graft.algos.{KCores, RandomWalks}
+
+class MoreAlgosSpec extends AnyFunSuite {
+  lazy val spark = TestSessions.spark
+  import spark.implicits._
+
+  lazy val edgesDf = LinkGraph.edges(spark, TestSessions.Sf0001).cache()
+  lazy val edgePairs: Seq[(Long, Long)] =
+    edgesDf.select("src", "dst").as[(Long, Long)].collect().toSeq
+
+  /** Plain-Scala k-core peeling oracle. */
+  private def corenessOracle(edges: Seq[(Long, Long)]): Map[Long, Int] = {
+    val und = (edges ++ edges.map(_.swap)).distinct
+    var nbrs = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val core = scala.collection.mutable.Map.empty[Long, Int]
+    nbrs.keys.foreach(core(_) = 0)
+    var k = 1
+    while (nbrs.nonEmpty) {
+      var changed = true
+      while (changed) {
+        val drop = nbrs.filter(_._2.size < k).keySet
+        changed = drop.nonEmpty
+        if (changed)
+          nbrs = nbrs.view.filterKeys(!drop.contains(_))
+            .mapValues(_ -- drop).toMap.filter(_._2.nonEmpty)
+      }
+      nbrs.keys.foreach(core(_) = k)
+      k += 1
+    }
+    core.toMap
+  }
+
+  test("k-core coreness matches the peeling oracle") {
+    val got = KCores.coreness(spark, edgesDf)
+      .as[(Long, Int)].collect().toMap
+    val want = corenessOracle(edgePairs)
+    // oracle only tracks vertices with >=1 edge; engine lists all vertices
+    val wantFull = got.keySet.map(id => id -> want.getOrElse(id, 0)).toMap
+    assert(got == wantFull)
+    assert(got.values.max >= 2, "graph should have a non-trivial core")
+  }
+
+  test("random walks: deterministic, bounded, land on real vertices") {
+    val sources = edgesDf.select(col("src").as("id")).distinct().limit(20)
+    val a = RandomWalks.visitCounts(spark, edgesDf, sources, 10, 5)
+      .as[(Long, Long)].collect().toMap
+    val b = RandomWalks.visitCounts(spark, edgesDf, sources, 10, 5)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a.values.sum <= 20L * 10 * 5)
+    assert(a.nonEmpty)
+    val vertices = edgePairs.flatMap(e => Seq(e._1, e._2)).toSet
+    assert(a.keySet.subsetOf(vertices))
+  }
+
+  test("random walks from a sink vertex produce no visits") {
+    // region vertices have no out-edges in the link graph
+    val sinks = edgesDf.select(col("dst").as("id"))
+      .filter(col("dst") < LinkGraph.NATION).distinct()
+    val v = RandomWalks.visitCounts(spark, edgesDf, sinks, 5, 3)
+    assert(v.isEmpty || v.count() == 0)
+  }
+}

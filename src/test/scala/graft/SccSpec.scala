@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.algos.SCC
+import graft.derive.{CodeLakehouse, EdgeDerive}
+
+class SccSpec extends AnyFunSuite {
+  lazy val spark = TestSessions.spark
+  import spark.implicits._
+
+  /** Iterative Tarjan SCC oracle; labels each SCC by its max vertex id. */
+  private def tarjan(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val verts = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val index = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val onStack = scala.collection.mutable.Set.empty[Long]
+    val stack = scala.collection.mutable.Stack.empty[Long]
+    val result = scala.collection.mutable.Map.empty[Long, Long]
+    var counter = 0
+    for (start <- verts if !index.contains(start)) {
+      // iterative DFS with explicit work stack: (vertex, child iterator)
+      val work = scala.collection.mutable.Stack[(Long, Iterator[Long])]()
+      def push(v: Long): Unit = {
+        index(v) = counter; low(v) = counter; counter += 1
+        stack.push(v); onStack += v
+        work.push((v, adj.getOrElse(v, Nil).iterator))
+      }
+      push(start)
+      while (work.nonEmpty) {
+        val (v, it) = work.top
+        if (it.hasNext) {
+          val w = it.next()
+          if (!index.contains(w)) push(w)
+          else if (onStack(w)) low(v) = math.min(low(v), index(w))
+        } else {
+          work.pop()
+          if (work.nonEmpty) {
+            val (p, _) = work.top
+            low(p) = math.min(low(p), low(v))
+          }
+          if (low(v) == index(v)) {
+            val members = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var w = -1L
+            do { w = stack.pop(); onStack -= w; members += w } while (w != v)
+            val label = members.max
+            members.foreach(result(_) = label)
+          }
+        }
+      }
+    }
+    result.toMap
+  }
+
+  test("SCC matches a Tarjan oracle on a cyclic derived graph") {
+    val (edgesDf, _) = EdgeDerive.derive(CodeLakehouse.table(spark, 300L))
+    val pairs = edgesDf.select("src", "dst").as[(Long, Long)].collect().toSeq
+    val want = tarjan(pairs)
+    val got = SCC.run(spark, edgesDf, maxRounds = 300)
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+    // sanity: the generator's back-edges must have produced >=1 real cycle
+    val nontrivial = want.groupBy(_._2).count(_._2.size > 1)
+    assert(nontrivial >= 1, "test graph has no non-trivial SCC")
+  }
+
+  test("SCC on a hand-built graph: two cycles and a bridge") {
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), // SCC {1,2,3} -> label 3
+      (3L, 4L),                     // bridge
+      (4L, 5L), (5L, 6L), (6L, 4L), // SCC {4,5,6} -> label 6
+      (6L, 7L)                      // tail singleton
+    ).toDF("src", "dst").withColumn("weight",
+      org.apache.spark.sql.functions.lit(1.0))
+    val got = SCC.run(spark, edges).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L,
+      4L -> 6L, 5L -> 6L, 6L -> 6L, 7L -> 7L))
+  }
+}
