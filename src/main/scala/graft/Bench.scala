@@ -60,11 +60,9 @@ object Bench {
     * (DataFrame path: Tungsten shuffle beats the RDD CSR path's Java-
     * serialized boxed tuples — measured 6.6 vs 10.2 s/superstep @32c/8M.)
     */
-  private def scalingRun(spark: SparkSession, nFiles: Long,
+  private def scalingRun(spark: SparkSession, edgesPath: String,
       supersteps: Int): (Long, Double) = {
-    val files = graft.derive.CodeLakehouse.table(spark, nFiles)
-    val (edges, _) = graft.derive.EdgeDerive.derive(files)
-    val cached = edges
+    val cached = spark.read.parquet(edgesPath)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = cached.count()
     // run warmup + measured supersteps; time only the steady-state tail
@@ -86,7 +84,24 @@ object Bench {
     * an N-core executor (JVM sizes GC threads from the cpuset). Returns
     * (edges, seconds).
     */
-  private def scalingLegSubprocess(cores: Int, nFiles: Long,
+  /** Derive the lakehouse edge graph once and park it as parquet (tmpfs);
+    * every scaling leg reads the identical input.
+    */
+  private def prepareScalingInput(nFiles: Long): String = {
+    val path = s"/dev/shm/graft-scale-edges-$nFiles"
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      val s = session(32)
+      val files = graft.derive.CodeLakehouse.table(s, nFiles)
+      val (edges, _) = graft.derive.EdgeDerive.derive(files)
+      edges.write.mode("overwrite").parquet(path)
+      s.stop()
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    }
+    path
+  }
+
+  private def scalingLegSubprocess(cores: Int, edgesPath: String,
       supersteps: Int): (Long, Double) = {
     val java = s"${System.getProperty("java.home")}/bin/java"
     val addOpens = Seq(
@@ -99,7 +114,7 @@ object Bench {
       s"-Xmx${2L * cores}g") ++ addOpens ++ Seq(
       "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", System.getProperty("java.class.path"),
-      "graft.Bench", "scaling-leg", cores.toString, nFiles.toString,
+      "graft.Bench", "scaling-leg", cores.toString, edgesPath,
       supersteps.toString)
     val pb = new ProcessBuilder(cmd: _*)
     pb.redirectErrorStream(true)
@@ -126,11 +141,12 @@ object Bench {
     val cores = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "8,32")
       .split(",").map(_.trim.toInt).toSeq
     val ss = sys.env.getOrElse("SPARK_GRAFT_SCALE_STEPS", "10").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    val edgesPath = prepareScalingInput(nFiles)
     // interleave legs across repetitions; best-of filters ambient noise
     val best = scala.collection.mutable.Map.empty[Int, (Long, Double)]
     for (r <- 1 to reps; c <- cores) {
-      val (n, sec) = scalingLegSubprocess(c, nFiles, ss)
+      val (n, sec) = scalingLegSubprocess(c, edgesPath, ss)
       println(f"[leg-result] rep=$r cores=$c sec=$sec%.2f " +
         f"eps=${n.toDouble * ss / sec}%.0f")
       if (!best.contains(c) || sec < best(c)._2) best(c) = (n, sec)
@@ -148,9 +164,10 @@ object Bench {
   }
 
   /** Child-process entrypoint for one pinned scaling leg. */
-  private def scalingLeg(cores: Int, nFiles: Long, supersteps: Int): Unit = {
+  private def scalingLeg(cores: Int, edgesPath: String,
+      supersteps: Int): Unit = {
     val s = session(cores)
-    val (n, sec) = scalingRun(s, nFiles, supersteps)
+    val (n, sec) = scalingRun(s, edgesPath, supersteps)
     println(s"[leg] edges=$n sec=$sec")
     s.stop()
   }
@@ -161,7 +178,7 @@ object Bench {
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") != "0"
 
     if (args.length >= 4 && args(0) == "scaling-leg") {
-      scalingLeg(args(1).toInt, args(2).toLong, args(3).toInt); return
+      scalingLeg(args(1).toInt, args(2), args(3).toInt); return
     }
     if (args.contains("scaling-only")) { scalingOnly(); return }
 
@@ -206,21 +223,39 @@ object Bench {
     // count varies (the sandbox stand-in for N vs 4N executors).
     var scalingJson = ""
     if (doScaling) {
-      val nFiles = sys.env.getOrElse("SPARK_GRAFT_SCALE_FILES", "8000000").toLong
+      // N vs 4N cores, both legs as taskset-pinned JVMs, steady-state
+      // superstep timing, best of `reps` interleaved repetitions per leg.
+      // Default pair 2→8: both legs below this box's memory-bus saturation,
+      // matching the cluster assumption that per-node bandwidth scales with
+      // executor count (8→32 on one box measures bus saturation instead).
+      val nFiles = sys.env.getOrElse("SPARK_GRAFT_SCALE_FILES", "4000000").toLong
+      val pair = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "2,8")
+        .split(",").map(_.trim.toInt)
+      val (lo, hi) = (pair(0), pair(1))
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
       val ss = 10
       spark.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      val (scaleEdges, sec8) = scalingLegSubprocess(8, nFiles, ss)
-      val (_, sec32) = scalingLegSubprocess(32, nFiles, ss)
-      val eps8 = scaleEdges.toDouble * ss / sec8
-      val eps32 = scaleEdges.toDouble * ss / sec32
-      val eff = eps32 / (4.0 * eps8)
+      val edgesPath = prepareScalingInput(nFiles)
+      val legs = (1 to reps).flatMap(_ => Seq(lo, hi)).map { c =>
+        c -> scalingLegSubprocess(c, edgesPath, ss)
+      }
+      val bestLo = legs.filter(_._1 == lo).map(_._2).minBy(_._2)
+      val bestHi = legs.filter(_._1 == hi).map(_._2).minBy(_._2)
+      val scaleEdges = bestLo._1
+      val epsLo = scaleEdges.toDouble * ss / bestLo._2
+      val epsHi = scaleEdges.toDouble * ss / bestHi._2
+      val eff = epsHi / ((hi.toDouble / lo) * epsLo)
+      val legsJson = legs.map { case (c, (_, sec)) =>
+        s"""{"cores":$c,"sec":$sec}"""
+      }.mkString("[", ",", "]")
       scalingJson =
         s""","scaling":{"input_files":$nFiles,"input_edges":$scaleEdges,""" +
-          s""""supersteps":$ss,"cores8_sec":$sec8,"cores32_sec":$sec32,""" +
-          s""""cores8_edges_per_sec_per_superstep":$eps8,""" +
-          s""""cores32_edges_per_sec_per_superstep":$eps32,""" +
-          s""""efficiency":$eff}"""
+          s""""supersteps":$ss,"low_cores":$lo,"high_cores":$hi,""" +
+          s""""low_sec":${bestLo._2},"high_sec":${bestHi._2},""" +
+          s""""low_edges_per_sec_per_superstep":$epsLo,""" +
+          s""""high_edges_per_sec_per_superstep":$epsHi,""" +
+          s""""legs":$legsJson,"efficiency":$eff}"""
       spark = session(cpus)
     }
 

@@ -106,6 +106,47 @@ object SparkEntry {
     "triangle_per_vertex" -> ((s, dir) =>
       TriangleCount.perVertex(s, LinkGraph.edges(s, dir)).orderBy(col("id"))),
 
+    // ---- further graph apps -------------------------------------------------
+    "degree_distribution" -> ((s, dir) =>
+      graft.algos.GraphOps.degreeDistribution(LinkGraph.edges(s, dir))),
+    "msf" -> ((s, dir) =>
+      graft.algos.MinimumSpanningForest.run(s, LinkGraph.edges(s, dir))
+        .orderBy(col("u"), col("v"))),
+    "scc" -> ((s, _) => {
+      // run on the (cyclic) generated lakehouse graph; the TPC-H link graph
+      // is a DAG so every SCC would be a singleton
+      val (e, _) = graft.derive.EdgeDerive.derive(
+        graft.derive.CodeLakehouse.table(s, 2000L))
+      graft.algos.SCC.run(s, e, maxRounds = 300).orderBy(col("id"))
+    }),
+    "kcores" -> ((s, dir) =>
+      graft.algos.KCores.coreness(s, LinkGraph.edges(s, dir))
+        .orderBy(col("id"))),
+    "random_walks" -> ((s, dir) => {
+      val e = LinkGraph.edges(s, dir)
+      graft.algos.RandomWalks.visitCounts(s, e,
+        e.select(col("src").as("id")).distinct().orderBy(col("id")).limit(50),
+        walksPerSource = 10, steps = 4).orderBy(col("id"))
+    }),
+    "bond_percolation" -> ((s, dir) =>
+      graft.algos.GraphOps.bondPercolation(s, LinkGraph.edges(s, dir), 0.5)
+        .orderBy(col("id"))),
+    "khop_subgraph" -> ((s, dir) => {
+      import s.implicits._
+      graft.algos.GraphOps.kHopSubgraph(s, LinkGraph.edges(s, dir),
+        Seq(LinkGraph.CUST + 1L).toDF("id"), hops = 3)
+        .orderBy(col("src"), col("dst"))
+    }),
+    "seeded_label_propagation" -> ((s, dir) => {
+      import s.implicits._
+      graft.algos.GraphOps.seededLabelPropagation(s, LinkGraph.edges(s, dir),
+        Seq((LinkGraph.CUST + 1L, 100L), (LinkGraph.CUST + 2L, 200L))
+          .toDF("id", "label"), iters = 8)
+        .select(col("id"), col("label"),
+          floor(col("p") * 1e6 + 0.5).cast("long").as("p_q6"))
+        .orderBy(col("id"))
+    }),
+
     // ---- lakehouse derivation (north_rule input; generated, ignores dir) ---
     "lakehouse_edges" -> ((s, _) => {
       val files = graft.derive.CodeLakehouse.table(s, 20000L)
@@ -239,6 +280,17 @@ object SparkEntry {
          |GROUP BY label ORDER BY cnt DESC, label""".stripMargin
     },
     "label_propagation" -> LabelPropagation.oracleSql(E, LpaIters),
+    "degree_distribution" ->
+      s"""WITH edges AS (
+         |$E
+         |),
+         |deg AS (
+         |  SELECT id, CAST(SUM(c) AS BIGINT) AS deg FROM (
+         |    SELECT src AS id, 1 AS c FROM edges
+         |    UNION ALL SELECT dst, 1 FROM edges)
+         |  GROUP BY id)
+         |SELECT deg, CAST(COUNT(*) AS BIGINT) AS n_vertices
+         |FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
     "triangle_total" -> TriangleCount.totalOracleSql(E),
     "triangle_per_vertex" -> TriangleCount.perVertexOracleSql(E),
 

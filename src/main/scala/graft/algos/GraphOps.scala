@@ -1,0 +1,96 @@
+package graft.algos
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.LinkGraph
+
+/** Smaller reference apps: bond percolation, k-hop subgraph extraction,
+  * degree distribution, weighted/seeded label propagation
+  * (/root/reference/toolkits/graph_analytics/{bond_percolation.cpp,
+  * subgraph.cpp, label_propagation.cpp}).
+  */
+object GraphOps {
+
+  /** Bond percolation (bond_percolation.cpp:72-160): keep each undirected
+    * edge "open" independently with probability p (deterministic seeded
+    * hash), then find connected components over open edges. Returns
+    * (id, label) over ALL vertices (closed-off vertices keep own id).
+    */
+  def bondPercolation(spark: SparkSession, edges: DataFrame, p: Double,
+      seed: Long = 42L): DataFrame = {
+    val open = edges.filter(
+      (pmod(xxhash64(col("src"), col("dst"), lit(seed)), lit(1000000007L))
+        .cast("double") / 1000000007.0) < p)
+    val allVerts = LinkGraph.vertices(edges)
+    val labels = ConnectedComponents.components(spark,
+      open.select(col("src"), col("dst"), lit(1.0).as("weight")))
+    allVerts.join(labels.withColumnRenamed("id", "lid"),
+      allVerts("id") === col("lid"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
+  }
+
+  /** k-hop undirected subgraph extraction from a seed set (subgraph.cpp):
+    * BFS frontier for `hops` supersteps; returns the induced edge set.
+    */
+  def kHopSubgraph(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
+      hops: Int): DataFrame = {
+    val und = LinkGraph.undirected(edges).select("src", "dst").distinct()
+      .localCheckpoint(true)
+    var reached = seeds.select(col("id")).distinct().localCheckpoint(true)
+    for (_ <- 1 to hops) {
+      val next = und.join(reached.withColumnRenamed("id", "src"),
+        Seq("src"), "left_semi").select(col("dst").as("id"))
+      reached = reached.unionAll(next).distinct().localCheckpoint(true)
+    }
+    edges
+      .join(reached.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(reached.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+  }
+
+  /** Degree distribution: (deg, n_vertices) — the degree-histogram report. */
+  def degreeDistribution(edges: DataFrame): DataFrame =
+    LinkGraph.degrees(edges)
+      .groupBy(col("deg")).agg(count(lit(1)).as("n_vertices"))
+      .orderBy(col("deg"))
+
+  /** Weighted, seeded label propagation — the toolkit's label_propagation
+    * (label_propagation.cpp:73-103): seed vertices carry frozen one-hot
+    * label distributions; every round a non-seed vertex's distribution
+    * becomes the weight-normalized mix of its in-neighbors':
+    *   pvec(v) = α·pvec(v) + (1−α)·Σ_u w(u,v)·pvec(u) / Σ_u w(u,v)
+    * Labels are tracked sparsely as (id, label, p) rows (the dataflow form
+    * of the reference's dense per-vertex probability vector).
+    *
+    * @param seeds (id, label) frozen assignments
+    */
+  def seededLabelPropagation(spark: SparkSession, edges: DataFrame,
+      seeds: DataFrame, iters: Int, alpha: Double = 0.0): DataFrame = {
+    val seedDist = seeds.select(col("id"), col("label"), lit(1.0).as("p"))
+      .localCheckpoint(true)
+    val inW = edges.groupBy(col("dst")).agg(sum("weight").as("wsum"))
+      .localCheckpoint(true)
+    var dist = seedDist
+    for (_ <- 1 to iters) {
+      val msgs = dist.join(edges, dist("id") === edges("src"))
+        .select(col("dst"), col("label"), (col("p") * col("weight")).as("wp"))
+        .groupBy(col("dst"), col("label")).agg(sum("wp").as("wp"))
+        .join(inW, "dst")
+        .select(col("dst").as("id"), col("label"),
+          (col("wp") / col("wsum")).as("p"))
+      val mixed =
+        if (alpha == 0.0) msgs
+        else dist.select(col("id"), col("label"), (col("p") * alpha).as("p"))
+          .unionAll(msgs.select(col("id"), col("label"),
+            (col("p") * (1 - alpha)).as("p")))
+          .groupBy("id", "label").agg(sum("p").as("p"))
+      // seeds stay frozen; non-seeds adopt the mixed distribution
+      dist = seedDist.unionAll(
+        mixed.join(seedDist.select(col("id")), Seq("id"), "left_anti"))
+        .localCheckpoint(true)
+    }
+    // hard assignment: most probable label, tie -> larger label
+    dist.groupBy("id").agg(
+      max_by(col("label"), struct(col("p"), col("label"))).as("label"),
+      max("p").as("p"))
+  }
+}
