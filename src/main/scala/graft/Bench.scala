@@ -10,16 +10,20 @@ import graft.algos.{ConnectedComponents, LabelPropagation, PageRank, TriangleCou
   * Headline metric (BASELINE.json): PageRank edges-processed/sec per
   * superstep + supersteps-to-1e-6 convergence on the derived link graph.
   * Cluster-size scaling (N vs 4N executors) is evidenced in this sandbox by
-  * running the identical job + input + partition count at local[8] and
-  * local[32] and reporting `efficiency = T(8c) / (4 * T(32c))`.
+  * running the identical job + input + partition count in two taskset-pinned
+  * JVMs at N and 4N cores (default 2 and 8; see BENCH.md for the protocol
+  * and why pinning/heap-scaling matters) and reporting
+  * `efficiency = eps(4N) / (4 · eps(N))` over steady-state supersteps,
+  * best of SPARK_GRAFT_SCALE_REPS interleaved repetitions.
   *
   * Prints ONE JSON line:
   *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
   *    "pagerank":{edges, supersteps, sec, edges_per_sec_per_superstep},
-  *    "scaling":{cores8_sec, cores32_sec, efficiency, ...}}
+  *    "scaling":{low_cores, high_cores, legs, efficiency, ...}}
   *
   * Env: SPARK_GRAFT_SF_DIR (input), SPARK_GRAFT_CPUS (main session cores),
-  * SPARK_GRAFT_SCALING=0 to skip the dual-parallelism runs.
+  * SPARK_GRAFT_SCALING=0 to skip the dual-parallelism runs,
+  * SPARK_GRAFT_SCALE_{FILES,CORES,REPS,STEPS} to tune the probe.
   */
 object Bench {
 
@@ -141,7 +145,7 @@ object Bench {
     val cores = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "8,32")
       .split(",").map(_.trim.toInt).toSeq
     val ss = sys.env.getOrElse("SPARK_GRAFT_SCALE_STEPS", "10").toInt
-    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
     val edgesPath = prepareScalingInput(nFiles)
     // interleave legs across repetitions; best-of filters ambient noise
     val best = scala.collection.mutable.Map.empty[Int, (Long, Double)]
@@ -232,7 +236,7 @@ object Bench {
       val pair = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORES", "2,8")
         .split(",").map(_.trim.toInt)
       val (lo, hi) = (pair(0), pair(1))
-      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "3").toInt
+      val reps = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPS", "2").toInt
       val ss = 10
       spark.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
