@@ -89,6 +89,18 @@ object Kernels {
     }
   }
 
+  /** k-sigma outlier trim over a value column — the reference's legacy
+    * normalized-kernel filter (/root/reference/myapps/main.cpp:522-557,
+    * vertexlabel_static.cpp:1251-1280): keep rows within mean ± k·stddev.
+    */
+  def outlierTrim(df: DataFrame, valueCol: String, k: Double = 2.0): DataFrame = {
+    val row = df.agg(
+      avg(col(valueCol)).as("mu"),
+      stddev_pop(col(valueCol)).as("sigma")).head()
+    val (mu, sigma) = (row.getDouble(0), row.getDouble(1))
+    df.filter(col(valueCol).between(mu - k * sigma, mu + k * sigma))
+  }
+
   /** Distributed pairwise Euclidean distance matrix straight from the sparse
     * counts (no dense arrays): ‖a−b‖² = Σa² + Σb² − 2Σab, the Σab term from
     * a label equi-join. (graph_a < graph_b, dist double.) KL/Hellinger need

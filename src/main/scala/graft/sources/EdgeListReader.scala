@@ -60,6 +60,32 @@ object EdgeListReader {
       element_at(types, 3).cast("int").as("edge_type"))
   }
 
+  /** Binary fixed-width edge list (conversions.hpp:522-602):
+    * little-endian records of (src: u32, dst: u32[, value: f32]). Reads via
+    * the binaryFile source and parses records per file partition.
+    */
+  def binEdgeList(spark: SparkSession, path: String,
+      hasValue: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val recSize = if (hasValue) 12 else 8
+    spark.read.format("binaryFile").load(path)
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap { bytes =>
+        val buf = java.nio.ByteBuffer.wrap(bytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until bytes.length / recSize).iterator.map { i =>
+          val off = i * recSize
+          val src = buf.getInt(off).toLong & 0xFFFFFFFFL
+          val dst = buf.getInt(off + 4).toLong & 0xFFFFFFFFL
+          val w = if (hasValue) buf.getFloat(off + 8).toDouble else 1.0
+          (src, dst, w)
+        }
+      }
+      .toDF("src", "dst", "weight")
+      .filter(col("src") =!= col("dst"))
+  }
+
   /** MatrixMarket coordinate format: `%%MatrixMarket` header + `%` comments,
     * first data row = dims, then `row col [value]`, 1-indexed
     * (conversions.hpp:380-440 / the CF toolkit's MM reader).
