@@ -240,26 +240,42 @@ object Bench {
       val ss = 10
       spark.stop()
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-      val edgesPath = prepareScalingInput(nFiles)
-      val legs = (1 to reps).flatMap(_ => Seq(lo, hi)).map { c =>
-        c -> scalingLegSubprocess(c, edgesPath, ss)
+      // a failed leg (missing taskset, OOM, kill) must not cost the whole
+      // bench line — degrade to whatever legs completed
+      try {
+        val edgesPath = prepareScalingInput(nFiles)
+        val legs = (1 to reps).flatMap(_ => Seq(lo, hi)).flatMap { c =>
+          try Some(c -> scalingLegSubprocess(c, edgesPath, ss))
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] scaling leg cores=$c failed: $e")
+              None
+          }
+        }
+        val losSecs = legs.filter(_._1 == lo).map(_._2)
+        val hisSecs = legs.filter(_._1 == hi).map(_._2)
+        if (losSecs.nonEmpty && hisSecs.nonEmpty) {
+          val bestLo = losSecs.minBy(_._2)
+          val bestHi = hisSecs.minBy(_._2)
+          val scaleEdges = bestLo._1
+          val epsLo = scaleEdges.toDouble * ss / bestLo._2
+          val epsHi = scaleEdges.toDouble * ss / bestHi._2
+          val eff = epsHi / ((hi.toDouble / lo) * epsLo)
+          val legsJson = legs.map { case (c, (_, sec)) =>
+            s"""{"cores":$c,"sec":$sec}"""
+          }.mkString("[", ",", "]")
+          scalingJson =
+            s""","scaling":{"input_files":$nFiles,"input_edges":$scaleEdges,""" +
+              s""""supersteps":$ss,"low_cores":$lo,"high_cores":$hi,""" +
+              s""""low_sec":${bestLo._2},"high_sec":${bestHi._2},""" +
+              s""""low_edges_per_sec_per_superstep":$epsLo,""" +
+              s""""high_edges_per_sec_per_superstep":$epsHi,""" +
+              s""""legs":$legsJson,"efficiency":$eff}"""
+        }
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] scaling probe failed: $e")
       }
-      val bestLo = legs.filter(_._1 == lo).map(_._2).minBy(_._2)
-      val bestHi = legs.filter(_._1 == hi).map(_._2).minBy(_._2)
-      val scaleEdges = bestLo._1
-      val epsLo = scaleEdges.toDouble * ss / bestLo._2
-      val epsHi = scaleEdges.toDouble * ss / bestHi._2
-      val eff = epsHi / ((hi.toDouble / lo) * epsLo)
-      val legsJson = legs.map { case (c, (_, sec)) =>
-        s"""{"cores":$c,"sec":$sec}"""
-      }.mkString("[", ",", "]")
-      scalingJson =
-        s""","scaling":{"input_files":$nFiles,"input_edges":$scaleEdges,""" +
-          s""""supersteps":$ss,"low_cores":$lo,"high_cores":$hi,""" +
-          s""""low_sec":${bestLo._2},"high_sec":${bestHi._2},""" +
-          s""""low_edges_per_sec_per_superstep":$epsLo,""" +
-          s""""high_edges_per_sec_per_superstep":$epsHi,""" +
-          s""""legs":$legsJson,"efficiency":$eff}"""
       spark = session(cpus)
     }
 
