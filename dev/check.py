@@ -24,7 +24,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
-def main(sf_dir, out_dir):
+def main(sf_dir, out_dir, only=None):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
@@ -33,6 +33,7 @@ def main(sf_dir, out_dir):
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     ok = fail = 0
     for name in sorted(oracles):
+        if only and name not in only: continue
         res_dir = f"{out_dir}/{name}"
         files = glob.glob(f"{res_dir}/*.parquet")
         if not files:
@@ -61,6 +62,7 @@ def main(sf_dir, out_dir):
     for res_dir in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(res_dir.rstrip("/"))
         if name in oracles: continue
+        if only and name not in only: continue
         files = glob.glob(f"{res_dir}/*.parquet")
         n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
         print(f"{'ROWSONLY' if n > 0 else 'EMPTY   '} {name}: {n} rows")
@@ -69,4 +71,5 @@ def main(sf_dir, out_dir):
     return 1 if fail else 0
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    sys.exit(main(sys.argv[1], sys.argv[2], only))

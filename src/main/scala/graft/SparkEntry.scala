@@ -72,10 +72,13 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
     "pagerank_converged" -> ((s, dir) => {
-      // to 1e-6 convergence (rows-only driver check; allclose vs the
-      // plain-Scala oracle is asserted in PageRankSpec)
+      // to 1e-6 convergence; the DuckDB oracle replicates the stopping rule
+      // itself with a recursive CTE (PageRank.convergedOracleSql), so the
+      // iteration count needn't be known in advance
       PageRank.run(s, LinkGraph.edges(s, dir), tol = 1e-6, maxIters = 200)
-        .state.select(col("id"), col("rank")).orderBy(col("id"))
+        .state.select(col("id"),
+          floor(col("rank") * 1e8 + 0.5).cast("long").as("rank_q8"))
+        .orderBy(col("id"))
     }),
     "pagerank_top20" -> ((s, dir) => {
       PageRank.fixedIterations(s, LinkGraph.edges(s, dir), PrIters)
@@ -147,15 +150,18 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
-    // ---- lakehouse derivation (north_rule input; generated, ignores dir) ---
+    // ---- lakehouse derivation (north_rule input; generated + persisted to
+    // a parquet fixture so the DuckDB oracle re-derives from the same bytes) -
     "lakehouse_edges" -> ((s, _) => {
-      val files = graft.derive.CodeLakehouse.table(s, 20000L)
+      val files = Fixtures.persist(s, "lakehouse_files_20k",
+        graft.derive.CodeLakehouse.table(s, 20000L))
       val (e, _) = graft.derive.EdgeDerive.derive(files)
       e.orderBy(col("src"), col("dst"))
     }),
     "lakehouse_manifest" -> ((s, _) =>
       graft.derive.CodeLakehouse.manifest(
-        graft.derive.CodeLakehouse.table(s, 5000L))
+        Fixtures.persist(s, "lakehouse_files_5k",
+          graft.derive.CodeLakehouse.table(s, 5000L)))
         .orderBy(col("repo"), col("path"))),
 
     // ---- dedup / text analysis over documents ------------------------------
@@ -265,6 +271,7 @@ object SparkEntry {
          |  UNION ALL SELECT dst, 0, 1 FROM edges)
          |GROUP BY id ORDER BY id""".stripMargin,
     "pagerank_iters" -> PageRank.oracleSql(E, PrIters, 5),
+    "pagerank_converged" -> PageRank.convergedOracleSql(E, 1e-6, 200, 8),
     "pagerank_top20" ->
       // reuse the unrolled CTE chain, change the final projection to top-20
       PageRank.oracleSql(E, PrIters, 5).replace(
@@ -294,6 +301,89 @@ object SparkEntry {
     "triangle_total" -> TriangleCount.totalOracleSql(E),
     "triangle_per_vertex" -> TriangleCount.perVertexOracleSql(E),
 
+    "khop_subgraph" -> {
+      // 3 unrolled BFS rounds from seed CUST+1 over the undirected view,
+      // then the induced directed edge set
+      val hops = (1 to 3).map { k =>
+        s"""r$k AS MATERIALIZED (
+           |  SELECT DISTINCT id FROM (
+           |    SELECT id FROM r${k - 1}
+           |    UNION ALL
+           |    SELECT u.dst FROM und u JOIN r${k - 1} p ON p.id = u.src))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS MATERIALIZED (
+         |$E
+         |),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)),
+         |r0 AS (SELECT CAST(${LinkGraph.CUST + 1L} AS BIGINT) AS id),
+         |$hops
+         |SELECT e.src, e.dst, e.weight
+         |FROM edges e
+         |JOIN r3 a ON a.id = e.src
+         |JOIN r3 b ON b.id = e.dst
+         |ORDER BY e.src, e.dst""".stripMargin
+    },
+
+    "seeded_label_propagation" -> {
+      // 8 unrolled weighted-mix rounds (alpha = 0): seeds frozen, non-seeds
+      // adopt the in-weight-normalized neighbor mix each round
+      val rounds = (1 to 8).map { k =>
+        s"""d$k AS MATERIALIZED (
+           |  SELECT id, label, p FROM d0
+           |  UNION ALL
+           |  SELECT m.id, m.label, m.wp / w.wsum AS p FROM (
+           |    SELECT e.dst AS id, d.label, SUM(d.p * e.weight) AS wp
+           |    FROM d${k - 1} d JOIN edges e ON e.src = d.id
+           |    GROUP BY 1, 2) m
+           |  JOIN inw w ON w.dst = m.id
+           |  WHERE m.id NOT IN (SELECT id FROM d0))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS MATERIALIZED (
+         |$E
+         |),
+         |inw AS MATERIALIZED (SELECT dst, SUM(weight) AS wsum FROM edges GROUP BY 1),
+         |d0 AS MATERIALIZED (
+         |  SELECT * FROM (VALUES
+         |    (CAST(${LinkGraph.CUST + 1L} AS BIGINT), CAST(100 AS BIGINT),
+         |     CAST(1.0 AS DOUBLE)),
+         |    (CAST(${LinkGraph.CUST + 2L} AS BIGINT), CAST(200 AS BIGINT),
+         |     CAST(1.0 AS DOUBLE))) t(id, label, p)),
+         |$rounds,
+         |r AS (
+         |  SELECT id, label, p,
+         |         ROW_NUMBER() OVER (PARTITION BY id
+         |                            ORDER BY p DESC, label DESC) AS rn
+         |  FROM d8)
+         |SELECT id, label, CAST(FLOOR(p * 1e6 + 0.5) AS BIGINT) AS p_q6
+         |FROM r WHERE rn = 1 ORDER BY id""".stripMargin
+    },
+
+    "lakehouse_edges" -> {
+      val fx = Fixtures.sqlOf("lakehouse_files_20k")
+      s"""WITH files AS MATERIALIZED (SELECT * FROM $fx),
+         |cat AS MATERIALIZED (
+         |  SELECT fkey, ROW_NUMBER() OVER (ORDER BY fkey) - 1 AS fid
+         |  FROM (SELECT DISTINCT repo || '/' || path AS fkey FROM files)),
+         |refs AS (
+         |  SELECT repo || '/' || path AS src_key,
+         |         unnest(regexp_extract_all(content, '(?m)^import (.+)$$', 1))
+         |           AS dst_key
+         |  FROM files)
+         |SELECT s.fid AS src, d.fid AS dst, CAST(COUNT(*) AS DOUBLE) AS weight
+         |FROM refs
+         |JOIN cat s ON s.fkey = refs.src_key
+         |JOIN cat d ON d.fkey = refs.dst_key
+         |WHERE s.fid <> d.fid
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+    "lakehouse_manifest" ->
+      s"""SELECT repo, path, "commit", sha256(content) AS content_sha256
+         |FROM ${Fixtures.sqlOf("lakehouse_files_5k")}
+         |ORDER BY repo, path""".stripMargin,
+
     "doc_exact_dedup" ->
       """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id,
         |       CAST(COUNT(*) AS BIGINT) AS dup_cnt
@@ -307,7 +397,8 @@ object SparkEntry {
     "doc_quality" ->
       """WITH t AS (
         |  SELECT doc_id, text,
-        |         regexp_split_to_array(trim(text), '\s+') AS toks
+        |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
         |  FROM documents),
         |m AS (
         |  SELECT doc_id,

@@ -142,4 +142,42 @@ object PageRank {
        |SELECT id, CAST(FLOOR(rank * 1e$roundTo + 0.5) AS BIGINT) AS rank_q$roundTo
        |FROM r$iters ORDER BY id""".stripMargin
   }
+
+  /** DuckDB oracle for [[run]] (the *convergence-stopped* variant): a
+    * recursive CTE that replicates the Superstep stopping rule exactly —
+    * produce iteration k+1 only while max(delta_k) > tol, cap at maxIters —
+    * so the oracle terminates at the same superstep as the engine without
+    * the iteration count being known in advance.
+    */
+  def convergedOracleSql(edgesSql: String, tol: Double, maxIters: Int,
+      roundTo: Int): String =
+    s"""WITH RECURSIVE edges AS MATERIALIZED (
+       |$edgesSql
+       |),
+       |verts AS MATERIALIZED (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+       |),
+       |share AS MATERIALIZED (
+       |  SELECT e.src, e.dst, 1.0 / o.od AS share
+       |  FROM edges e JOIN (
+       |    SELECT src, COUNT(*) AS od FROM edges GROUP BY 1) o ON o.src = e.src),
+       |pr AS (
+       |  SELECT id, CAST(1.0 AS DOUBLE) AS rank, CAST(1e308 AS DOUBLE) AS delta,
+       |         0 AS iter
+       |  FROM verts
+       |  UNION ALL
+       |  SELECT id, rank, delta, iter FROM (
+       |    SELECT v.id,
+       |           CAST($Teleport + $Damping * COALESCE(s.x, 0.0) AS DOUBLE) AS rank,
+       |           ABS(CAST($Teleport + $Damping * COALESCE(s.x, 0.0) AS DOUBLE)
+       |               - v.rank) AS delta,
+       |           v.iter + 1 AS iter,
+       |           MAX(v.delta) OVER () AS prev_maxd
+       |    FROM pr v LEFT JOIN (
+       |      SELECT sh.dst AS id, SUM(p.rank * sh.share) AS x
+       |      FROM share sh JOIN pr p ON p.id = sh.src GROUP BY 1) s ON s.id = v.id
+       |  ) WHERE prev_maxd > $tol AND iter <= $maxIters)
+       |SELECT id, CAST(FLOOR(rank * 1e$roundTo + 0.5) AS BIGINT) AS rank_q$roundTo
+       |FROM pr WHERE iter = (SELECT MAX(iter) FROM pr) ORDER BY id""".stripMargin
 }

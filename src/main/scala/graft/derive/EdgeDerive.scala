@@ -29,8 +29,11 @@ object EdgeDerive {
     */
   def catalog(files: DataFrame): DataFrame = {
     val spark = files.sparkSession
+    // distinct: a real lakehouse has multiple commits per path; without it a
+    // duplicated fkey gets several fids, multiplying every resolved edge
     val keyed = files.select(
       concat(col("repo"), lit("/"), col("path")).as("fkey"))
+      .distinct()
       .repartitionByRange(col("fkey"))
       .sortWithinPartitions("fkey")
     val withIds = keyed.rdd.zipWithIndex.map { case (row, i) =>
