@@ -112,25 +112,31 @@ object SparkEntry {
     // ---- further graph apps -------------------------------------------------
     "degree_distribution" -> ((s, dir) =>
       graft.algos.GraphOps.degreeDistribution(LinkGraph.edges(s, dir))),
-    "msf" -> ((s, dir) =>
-      graft.algos.MinimumSpanningForest.run(s, LinkGraph.edges(s, dir))
-        .orderBy(col("u"), col("v"))),
-    "scc" -> ((s, _) => {
-      // run on the (cyclic) generated lakehouse graph; the TPC-H link graph
-      // is a DAG so every SCC would be a singleton
-      val (e, _) = graft.derive.EdgeDerive.derive(
-        graft.derive.CodeLakehouse.table(s, 2000L))
-      graft.algos.SCC.run(s, e, maxRounds = 300).orderBy(col("id"))
+    "msf" -> ((s, _) => {
+      // planted-tree fixture: distinct tree weights < 1, extras >= 2, so the
+      // unique MSF is known by construction and the run is hard-verifiable
+      // (the link-graph MSF stays covered by MsfGraphOpsSpec's Kruskal oracle)
+      val e = Fixtures.persist(s, "planted_msf",
+        graft.core.Planted.msfGraph(s))
+      graft.algos.MinimumSpanningForest.run(s, e).orderBy(col("u"), col("v"))
     }),
-    "kcores" -> ((s, dir) =>
-      graft.algos.KCores.coreness(s, LinkGraph.edges(s, dir))
-        .orderBy(col("id"))),
+    "scc" -> ((s, _) => {
+      // planted strongly-connected clusters + permuted intra-block DAG: the
+      // expected labeling is arithmetic, the coloring algorithm needs real
+      // multi-round peeling (random-graph coverage stays in SccSpec/Tarjan)
+      val e = Fixtures.persist(s, "planted_scc",
+        graft.core.Planted.sccGraph(s))
+      graft.algos.SCC.run(s, e, maxRounds = 50).orderBy(col("id"))
+    }),
     "random_walks" -> ((s, dir) => {
       val e = LinkGraph.edges(s, dir)
       graft.algos.RandomWalks.visitCounts(s, e,
         e.select(col("src").as("id")).distinct().orderBy(col("id")).limit(50),
         walksPerSource = 10, steps = 4).orderBy(col("id"))
     }),
+    "kcores" -> ((s, dir) =>
+      graft.algos.KCores.coreness(s, LinkGraph.edges(s, dir))
+        .orderBy(col("id"))),
     "bond_percolation" -> ((s, dir) =>
       graft.algos.GraphOps.bondPercolation(s, LinkGraph.edges(s, dir), 0.5)
         .orderBy(col("id"))),
@@ -300,6 +306,27 @@ object SparkEntry {
          |FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
     "triangle_total" -> TriangleCount.totalOracleSql(E),
     "triangle_per_vertex" -> TriangleCount.perVertexOracleSql(E),
+
+    "msf" ->
+      // the fixture's construction makes the unique MSF exactly the rows
+      // with weight < 1 (see Planted.msfGraph); if Boruvka picked any other
+      // edge set the hash compare fails
+      s"""SELECT LEAST(src, dst) AS u, GREATEST(src, dst) AS v, weight
+         |FROM ${Fixtures.sqlOf("planted_msf")}
+         |WHERE weight < 1.0 ORDER BY u, v""".stripMargin,
+    "scc" ->
+      // expected label = max member id of each planted cluster (coloring
+      // roots); arithmetic from the fixture's vertex set (Planted.sccGraph)
+      s"""WITH e AS (SELECT * FROM ${Fixtures.sqlOf("planted_scc")}),
+         |v AS (SELECT DISTINCT id FROM (
+         |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e))
+         |SELECT id, (id // 8) * 8 + ((id // 8) % 7) AS scc
+         |FROM v ORDER BY id""".stripMargin,
+    "kcores" -> graft.algos.KCores.oracleSql(E),
+    "random_walks" -> graft.algos.RandomWalks.oracleSql(E,
+      nSources = 50, walksPerSource = 10, steps = 4),
+    "bond_percolation" ->
+      graft.algos.GraphOps.bondPercolationOracleSql(E, 0.5),
 
     "khop_subgraph" -> {
       // 3 unrolled BFS rounds from seed CUST+1 over the undirected view,

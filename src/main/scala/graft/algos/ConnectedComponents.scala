@@ -69,9 +69,18 @@ object ConnectedComponents {
     res
   }
 
-  /** (id, label) at the fixpoint. */
-  def components(spark: SparkSession, edges: DataFrame): DataFrame =
-    run(spark, edges).state.select("id", "label")
+  /** (id, label) at the fixpoint. Asserts convergence — with a too-small
+    * `maxIters` a high-diameter graph would otherwise silently return
+    * non-fixpoint labels (ADVICE r1).
+    */
+  def components(spark: SparkSession, edges: DataFrame,
+      maxIters: Int = 50): DataFrame = {
+    val res = run(spark, edges, maxIters = maxIters)
+    require(res.converged,
+      s"connected components did not converge within $maxIters supersteps " +
+        "(graph diameter exceeds the iteration budget); raise maxIters")
+    res.state.select("id", "label")
+  }
 
   /** Component-size histogram — the reference's `analyze_labels`
     * (/root/reference/src/util/labelanalysis.hpp:66-189): label, count,

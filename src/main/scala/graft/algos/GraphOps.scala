@@ -16,18 +16,66 @@ object GraphOps {
     * hash), then find connected components over open edges. Returns
     * (id, label) over ALL vertices (closed-off vertices keep own id).
     */
+  /** Deterministic per-edge keep decision: two-round Lehmer hash of
+    * (src, dst, seed) — pure 64-bit integer arithmetic so the DuckDB oracle
+    * computes the identical open-edge set (xxhash64 is Spark-only).
+    */
+  def edgeKeepFrac(src: org.apache.spark.sql.Column,
+      dst: org.apache.spark.sql.Column, seed: Long): org.apache.spark.sql.Column = {
+    val P = 2147483647L
+    ((src * lit(2654435761L) + dst * lit(40503L) + lit(seed)) % P * 48271L % P)
+      .cast("double") / P.toDouble
+  }
+
   def bondPercolation(spark: SparkSession, edges: DataFrame, p: Double,
       seed: Long = 42L): DataFrame = {
-    val open = edges.filter(
-      (pmod(xxhash64(col("src"), col("dst"), lit(seed)), lit(1000000007L))
-        .cast("double") / 1000000007.0) < p)
+    val open = edges.filter(edgeKeepFrac(col("src"), col("dst"), seed) < p)
     val allVerts = LinkGraph.vertices(edges)
-    val labels = ConnectedComponents.components(spark,
-      open.select(col("src"), col("dst"), lit(1.0).as("weight")))
+    // percolation can leave long thin components — give the fixpoint room
+    val res = ConnectedComponents.run(spark,
+      open.select(col("src"), col("dst"), lit(1.0).as("weight")),
+      maxIters = 500)
+    require(res.converged, "bond percolation CC did not converge")
+    val labels = res.state.select("id", "label")
     allVerts.join(labels.withColumnRenamed("id", "lid"),
       allVerts("id") === col("lid"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
+
+  /** Self-terminating DuckDB oracle for [[bondPercolation]]: same arithmetic
+    * keep rule, then hash-min CC to fixpoint via a recursive CTE.
+    */
+  def bondPercolationOracleSql(edgesSql: String, p: Double,
+      seed: Long = 42L): String =
+    s"""WITH RECURSIVE edges AS MATERIALIZED (
+       |$edgesSql
+       |),
+       |open AS MATERIALIZED (
+       |  SELECT src, dst FROM edges
+       |  WHERE CAST((src * 2654435761 + dst * 40503 + $seed)
+       |          % 2147483647 * 48271 % 2147483647 AS DOUBLE)
+       |        / 2147483647.0 < $p),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM open UNION ALL SELECT dst, src FROM open)),
+       |verts AS MATERIALIZED (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+       |cc AS (
+       |  SELECT id, id AS label, CAST(1 AS BIGINT) AS chg, 0 AS iter FROM verts
+       |  UNION ALL
+       |  SELECT id, label, chg, iter FROM (
+       |    SELECT s.id, LEAST(s.label, COALESCE(m.ml, s.label)) AS label,
+       |           CASE WHEN COALESCE(m.ml, s.label) < s.label
+       |                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS chg,
+       |           s.iter + 1 AS iter,
+       |           MAX(s.chg) OVER () AS anychg
+       |    FROM cc s LEFT JOIN (
+       |      SELECT u.dst AS id, MIN(l.label) AS ml
+       |      FROM und u JOIN cc l ON l.id = u.src GROUP BY 1) m ON m.id = s.id
+       |  ) WHERE anychg = 1)
+       |SELECT id, label FROM cc
+       |WHERE iter = (SELECT MAX(iter) FROM cc) ORDER BY id""".stripMargin
 
   /** k-hop undirected subgraph extraction from a seed set (subgraph.cpp):
     * BFS frontier for `hops` supersteps; returns the induced edge set.

