@@ -170,6 +170,14 @@ object SparkEntry {
           graft.derive.CodeLakehouse.table(s, 5000L)))
         .orderBy(col("repo"), col("path"))),
 
+    // ---- PROV-JSON (CamFlow) ingest -----------------------------------------
+    "prov_json_edges" -> ((s, _) => {
+      val docs = Fixtures.persist(s, "prov_json_docs",
+        graft.sources.ProvJsonReader.synthesize(s, 3))
+      graft.sources.ProvJsonReader.typedEdges(s, docs, "prov")
+        .orderBy(col("src"), col("dst"), col("edge_type"))
+    }),
+
     // ---- dedup / text analysis over documents ------------------------------
     "doc_exact_dedup" -> ((s, dir) =>
       Dedup.exact(Tables(s, dir, "documents")).orderBy(col("text_md5"))),
@@ -186,7 +194,9 @@ object SparkEntry {
       Dedup.minhashDedup(Tables(s, dir, "documents"), n = 3, threshold = 0.8)
         .orderBy(col("doc_a"), col("doc_b"))),
     "doc_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(Tables(s, dir, "documents"), maxDist = 10)
+      // maxDist = 3: the largest distance the 4-chunk pigeonhole index
+      // covers exhaustively (VERDICT r1 contract fix)
+      Dedup.simhashPairs(Tables(s, dir, "documents"), maxDist = 3)
         .orderBy(col("doc_a"), col("doc_b"))),
     "doc_langid" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
@@ -214,14 +224,17 @@ object SparkEntry {
       graft.streaming.EventStream.windowedCountsBatch(Tables(s, dir, "events"))
         .orderBy(col("window_start"), col("event_type"))),
 
-    // ---- FRAP provenance analytics (generated typed graphs; rows-only) -----
+    // ---- FRAP provenance analytics (generated typed graphs, persisted to
+    // a fixture so the DuckDB oracle re-runs the WL rounds on equal bytes) --
     "frap_wl_kernels" -> ((s, _) => {
-      val edges = graft.frap.ProvGen.corpus(s, nNormal = 6, nAbnormal = 1)
+      val edges = Fixtures.persist(s, "prov_corpus_7",
+        graft.frap.ProvGen.corpus(s, nNormal = 6, nAbnormal = 1))
       graft.frap.WLRelabel.kernelCounts(graft.frap.WLRelabel.run(edges, 3))
         .orderBy(col("graph_id"), col("label"))
     }),
     "frap_distance_matrix" -> ((s, _) => {
-      val edges = graft.frap.ProvGen.corpus(s, nNormal = 6, nAbnormal = 1)
+      val edges = Fixtures.persist(s, "prov_corpus_7",
+        graft.frap.ProvGen.corpus(s, nNormal = 6, nAbnormal = 1))
       val counts = graft.frap.WLRelabel.kernelCounts(
         graft.frap.WLRelabel.run(edges, 3))
       graft.frap.Kernels.euclideanMatrix(counts)
@@ -323,6 +336,59 @@ object SparkEntry {
          |SELECT id, (id // 8) * 8 + ((id // 8) % 7) AS scc
          |FROM v ORDER BY id""".stripMargin,
     "kcores" -> graft.algos.KCores.oracleSql(E),
+    "prov_json_edges" -> {
+      val fx = Fixtures.sqlOf("prov_json_docs")
+      val vvocab = graft.sources.ProvJsonReader.VertexTypes
+        .map { case (n, i) => s"('$n', $i)" }.mkString(", ")
+      val evocab = graft.sources.ProvJsonReader.EdgeTypes
+        .map { case (n, i) => s"('$n', $i)" }.mkString(", ")
+      def vcat(name: String) =
+        s"""SELECT k AS vid_str,
+           |  COALESCE(json_extract_string(value, '/$name/' || k || '/prov:type'),
+           |           'unknown') AS vtype_str
+           |FROM (SELECT value, unnest(json_keys(value, '$$.$name')) AS k
+           |      FROM docs)""".stripMargin
+      def rcat(name: String, sf: String, df: String) =
+        s"""SELECT
+           |  json_extract_string(value, '/$name/' || k || '/$sf') AS src_str,
+           |  json_extract_string(value, '/$name/' || k || '/$df') AS dst_str,
+           |  COALESCE(json_extract_string(value, '/$name/' || k || '/prov:type'),
+           |           'unknown') AS etype_str
+           |FROM (SELECT value, unnest(json_keys(value, '$$.$name')) AS k
+           |      FROM docs)""".stripMargin
+      s"""WITH docs AS MATERIALIZED (SELECT value FROM $fx),
+         |vvocab(name, vt) AS (VALUES $vvocab),
+         |evocab(name, et) AS (VALUES $evocab),
+         |decls AS (
+         |  SELECT vid_str, MIN(vtype_str) AS vtype_str FROM (
+         |    ${vcat("activity")}
+         |    UNION ALL ${vcat("entity")}
+         |    UNION ALL ${vcat("agent")})
+         |  GROUP BY 1),
+         |verts AS MATERIALIZED (
+         |  SELECT d.vid_str, ROW_NUMBER() OVER (ORDER BY d.vid_str) - 1 AS vid,
+         |         COALESCE(v.vt, 0) AS vtype
+         |  FROM decls d LEFT JOIN vvocab v ON v.name = d.vtype_str),
+         |rels AS (
+         |  ${rcat("used", "prov:entity", "prov:activity")}
+         |  UNION ALL ${rcat("wasGeneratedBy", "prov:activity", "prov:entity")}
+         |  UNION ALL ${rcat("wasInformedBy", "prov:informant", "prov:informed")}
+         |  UNION ALL ${rcat("wasDerivedFrom", "prov:usedEntity",
+              "prov:generatedEntity")})
+         |SELECT 'prov' AS graph_id, s.vid AS src, d.vid AS dst,
+         |       s.vtype AS src_type, d.vtype AS dst_type,
+         |       COALESCE(e.et, 0) AS edge_type
+         |FROM rels r
+         |JOIN verts s ON s.vid_str = r.src_str
+         |JOIN verts d ON d.vid_str = r.dst_str
+         |LEFT JOIN evocab e ON e.name = r.etype_str
+         |WHERE r.src_str IS NOT NULL AND r.dst_str IS NOT NULL
+         |ORDER BY src, dst, edge_type""".stripMargin
+    },
+    "frap_wl_kernels" -> graft.frap.WLRelabel.kernelOracleSql(
+      Fixtures.sqlOf("prov_corpus_7"), 3),
+    "frap_distance_matrix" -> graft.frap.WLRelabel.distanceOracleSql(
+      Fixtures.sqlOf("prov_corpus_7"), 3),
     "random_walks" -> graft.algos.RandomWalks.oracleSql(E,
       nSources = 50, walksPerSource = 10, steps = 4),
     "bond_percolation" ->
@@ -492,6 +558,102 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "doc_minhash_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |sh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 1),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |mins AS MATERIALIZED (
+        |  SELECT doc_id, i.range AS i,
+        |         MIN(md5(i.range || ':' || shingle)) AS minh
+        |  FROM sh, range(32) i GROUP BY 1, 2),
+        |bands AS MATERIALIZED (
+        |  SELECT doc_id, i // 4 AS band,
+        |         md5(string_agg(i || ':' || minh, ','
+        |           ORDER BY i || ':' || minh)) AS sig
+        |  FROM mins GROUP BY 1, 2),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |  WHERE a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b,
+        |  CAST(FLOOR(inter / (sa.sz + sb.sz - inter) * 1e6 + 0.5) AS BIGINT)
+        |    AS jaccard_q6
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "doc_simhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM (SELECT doc_id, unnest(t) AS token FROM toks)
+        |  GROUP BY 1, 2),
+        |h AS (
+        |  SELECT doc_id, w,
+        |         ('0x' || substr(md5(token), 1, 15))::BIGINT AS h
+        |  FROM tok),
+        |bits AS (
+        |  SELECT doc_id, b.range AS bit,
+        |         SUM(CASE WHEN (h >> b.range::INT) & 1 = 1 THEN w
+        |             ELSE -w END) AS s
+        |  FROM h, range(60) b GROUP BY 1, 2),
+        |sh AS MATERIALIZED (
+        |  SELECT doc_id,
+        |         SUM(CASE WHEN s > 0 THEN 1::BIGINT << bit::INT
+        |             ELSE 0 END) AS simhash
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       bit_count(xor(a.simhash, b.simhash)) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "doc_langid" ->
+      """WITH tri AS MATERIALIZED (
+        |  SELECT doc_id, lang, unnest(tg) AS trigram FROM (
+        |    SELECT doc_id, lang,
+        |      CASE WHEN length(s) >= 3 THEN
+        |        list_transform(range(1, length(s) - 1), i -> substr(s, i::INT, 3))
+        |      ELSE []::VARCHAR[] END AS tg
+        |    FROM (SELECT doc_id, lang,
+        |            lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS s
+        |          FROM documents))),
+        |prof AS MATERIALIZED (
+        |  SELECT lang, trigram, CAST(101 - rn AS BIGINT) AS weight FROM (
+        |    SELECT lang, trigram, COUNT(*) AS cnt,
+        |           ROW_NUMBER() OVER (PARTITION BY lang
+        |                              ORDER BY COUNT(*) DESC, trigram) AS rn
+        |    FROM tri GROUP BY 1, 2)
+        |  WHERE rn <= 100),
+        |tf AS (
+        |  SELECT doc_id, trigram, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM tri GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT tf.doc_id, p.lang, SUM(tf.tf * p.weight) AS score
+        |  FROM tf JOIN prof p ON p.trigram = tf.trigram
+        |  GROUP BY 1, 2)
+        |SELECT doc_id, lang AS lang_pred FROM (
+        |  SELECT doc_id, lang,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, ascii(lang)) AS rn
+        |  FROM scored)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "ann_brute_topk" ->
       """WITH c AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -516,6 +678,85 @@ object SparkEntry {
         |  CAST(FLOOR(cos * 1e6 + 0.5) AS BIGINT) AS cos_q6,
         |  CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_lsh_topk" ->
+      // md5-sign SRP planes (12 tables × 6 bits), shared-bucket candidates,
+      // exact cosine rerank — replicating Similarity.lshTopK bit for bit
+      """WITH c AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS MATERIALIZED (
+        |  SELECT vec_id, v,
+        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nn
+        |  FROM c),
+        |planes AS MATERIALIZED (
+        |  SELECT t.range AS t, b.range AS b, d.range AS d,
+        |    CASE WHEN substr(md5('srp:' || t.range || ':' || b.range || ':'
+        |                         || d.range), 1, 1)
+        |         IN ('8','9','a','b','c','d','e','f')
+        |         THEN 1.0 ELSE -1.0 END AS s
+        |  FROM range(12) t, range(6) b, range(64) d),
+        |buckets AS MATERIALIZED (
+        |  SELECT vec_id, t,
+        |         SUM(CASE WHEN dotp > 0 THEN 1::BIGINT << b::INT
+        |             ELSE 0 END) AS bkt
+        |  FROM (
+        |    SELECT n.vec_id, p.t, p.b, SUM(n.v[(p.d + 1)::INT] * p.s) AS dotp
+        |    FROM n, planes p GROUP BY 1, 2, 3)
+        |  GROUP BY 1, 2),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT q.vec_id AS query_id, x.vec_id
+        |  FROM buckets x JOIN buckets q ON x.t = q.t AND x.bkt = q.bkt
+        |  WHERE q.vec_id < 10 AND x.vec_id <> q.vec_id),
+        |sims AS (
+        |  SELECT cd.query_id, cd.vec_id,
+        |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i]))
+        |      / (a.nn * b.nn) AS cos
+        |  FROM cand cd
+        |  JOIN n a ON a.vec_id = cd.vec_id
+        |  JOIN n b ON b.vec_id = cd.query_id),
+        |r AS (
+        |  SELECT query_id, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, vec_id) AS rank
+        |  FROM sims)
+        |SELECT query_id, vec_id,
+        |  CAST(FLOOR(cos * 1e6 + 0.5) AS BIGINT) AS cos_q6,
+        |  CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "embedding_neardup" ->
+      // SRP bucket (6 bits, tag 'nd') + Hamming<=1 meet + exact verification
+      """WITH c AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS MATERIALIZED (
+        |  SELECT vec_id, v,
+        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nn
+        |  FROM c),
+        |planes AS MATERIALIZED (
+        |  SELECT b.range AS b, d.range AS d,
+        |    CASE WHEN substr(md5('srp:nd:' || b.range || ':' || d.range), 1, 1)
+        |         IN ('8','9','a','b','c','d','e','f')
+        |         THEN 1.0 ELSE -1.0 END AS s
+        |  FROM range(6) b, range(64) d),
+        |bkt AS MATERIALIZED (
+        |  SELECT vec_id,
+        |         SUM(CASE WHEN dotp > 0 THEN 1::BIGINT << b::INT
+        |             ELSE 0 END) AS bkt
+        |  FROM (
+        |    SELECT n.vec_id, p.b, SUM(n.v[(p.d + 1)::INT] * p.s) AS dotp
+        |    FROM n, planes p GROUP BY 1, 2)
+        |  GROUP BY 1)
+        |SELECT vec_a, vec_b, CAST(FLOOR(cos * 1e6 + 0.5) AS BIGINT) AS cos_q6
+        |FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    list_sum(list_transform(range(1, 65), i -> na.v[i] * nb.v[i]))
+        |      / (na.nn * nb.nn) AS cos
+        |  FROM bkt a
+        |  JOIN bkt b ON a.vec_id < b.vec_id
+        |             AND bit_count(xor(a.bkt, b.bkt)) <= 1
+        |  JOIN n na ON na.vec_id = a.vec_id
+        |  JOIN n nb ON nb.vec_id = b.vec_id)
+        |WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
     "events_windowed" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n,

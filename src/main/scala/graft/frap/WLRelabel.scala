@@ -86,4 +86,74 @@ object WLRelabel {
     */
   def kernelCounts(wlLabels: DataFrame): DataFrame =
     wlLabels.groupBy("graph_id", "label").agg(count(lit(1)).as("cnt"))
+
+  /** Shared DuckDB CTE block replicating [[run]]+[[kernelCounts]] over a
+    * persisted typed-edge fixture: md5 labels, '#'-joined neighbor sigs
+    * sorted lexicographically — identical strings to the Spark side.
+    * Ends with `kc(graph_id, label, cnt)`.
+    */
+  private def wlCtes(fixtureSql: String, iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""i$k AS (
+         |  SELECT e.graph_id, e.dst AS id,
+         |         string_agg(l.label || '#' || e.edge_type, ' '
+         |           ORDER BY l.label || '#' || e.edge_type) AS sig
+         |  FROM e JOIN l${k - 1} l
+         |    ON l.graph_id = e.graph_id AND l.id = e.src
+         |  GROUP BY 1, 2),
+         |o$k AS (
+         |  SELECT e.graph_id, e.src AS id,
+         |         string_agg(l.label || '#' || e.edge_type, ' '
+         |           ORDER BY l.label || '#' || e.edge_type) AS sig
+         |  FROM e JOIN l${k - 1} l
+         |    ON l.graph_id = e.graph_id AND l.id = e.dst
+         |  GROUP BY 1, 2),
+         |l$k AS MATERIALIZED (
+         |  SELECT l.graph_id, l.id,
+         |         md5(l.label || '|' || COALESCE(i.sig, '') || '|' ||
+         |             COALESCE(o.sig, '')) AS label
+         |  FROM l${k - 1} l
+         |  LEFT JOIN i$k i ON i.graph_id = l.graph_id AND i.id = l.id
+         |  LEFT JOIN o$k o ON o.graph_id = l.graph_id AND o.id = l.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = (1 to iters)
+      .map(k => s"UNION ALL SELECT graph_id, label FROM l$k").mkString(" ")
+    s"""e AS MATERIALIZED (SELECT * FROM $fixtureSql),
+       |l0 AS MATERIALIZED (
+       |  SELECT graph_id, id, MIN(label) AS label FROM (
+       |    SELECT graph_id, src AS id, CAST(src_type AS VARCHAR) AS label FROM e
+       |    UNION ALL
+       |    SELECT graph_id, dst, CAST(dst_type AS VARCHAR) FROM e)
+       |  GROUP BY 1, 2),
+       |$rounds,
+       |kc AS MATERIALIZED (
+       |  SELECT graph_id, label, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT graph_id, label FROM l0 $unions)
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  def kernelOracleSql(fixtureSql: String, iters: Int): String =
+    s"""WITH ${wlCtes(fixtureSql, iters)}
+       |SELECT graph_id, label, cnt FROM kc ORDER BY 1, 2""".stripMargin
+
+  /** Oracle for Kernels.euclideanMatrix over the same WL counts:
+    * dist = sqrt(Σa² + Σb² − 2Σab), quantized q6.
+    */
+  def distanceOracleSql(fixtureSql: String, iters: Int): String =
+    s"""WITH ${wlCtes(fixtureSql, iters)},
+       |norms AS (SELECT graph_id, SUM(cnt * cnt) AS sq FROM kc GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.graph_id AS ga, b.graph_id AS gb, a.sq AS sqa, b.sq AS sqb
+       |  FROM norms a, norms b WHERE a.graph_id < b.graph_id),
+       |dots AS (
+       |  SELECT a.graph_id AS ga, b.graph_id AS gb,
+       |         SUM(a.cnt * b.cnt) AS dot
+       |  FROM kc a JOIN kc b ON a.label = b.label
+       |  WHERE a.graph_id < b.graph_id GROUP BY 1, 2)
+       |SELECT p.ga, p.gb,
+       |  CAST(FLOOR(sqrt(p.sqa + p.sqb - 2.0 * COALESCE(d.dot, 0)) * 1e6 + 0.5)
+       |    AS BIGINT) AS dist_q6
+       |FROM pairs p LEFT JOIN dots d ON d.ga = p.ga AND d.gb = p.gb
+       |ORDER BY p.ga, p.gb""".stripMargin
 }

@@ -25,16 +25,17 @@ object Similarity {
   def l2norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
 
-  /** Deterministic ±1 hyperplanes: `bits` planes × `dim` components.
-    * The seed is scrambled (splitmix-style) — java.util.Random instances
-    * with nearby raw seeds produce correlated streams.
+  /** Deterministic ±1 hyperplanes: `bits` planes × `dim` components, keyed
+    * by a namespace tag. Component sign = top bit of md5("srp:tag:b:d") —
+    * uniform, decorrelated, and recomputable by the DuckDB oracle
+    * (substr(md5(...),1,1) IN ('8'..'f')).
     */
-  def hyperplanes(bits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
-    var z = seed + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    val rnd = new java.util.Random(z ^ (z >>> 31))
-    Array.fill(bits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  def hyperplanes(bits: Int, dim: Int, tag: String): Array[Array[Double]] = {
+    Array.tabulate(bits, dim) { (b, d) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hx = md.digest(s"srp:$tag:$b:$d".getBytes("UTF-8"))
+      if ((hx(0) & 0x80) != 0) 1.0 else -1.0
+    }
   }
 
   /** SRP-LSH bucket id per vector: bit i = [dot(v, plane_i) > 0]. */
@@ -70,10 +71,10 @@ object Similarity {
     * per-query cost O(tables × N / 2^bits) instead of O(N)).
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      bits: Int = 6, tables: Int = 12, seed: Long = 42L,
+      bits: Int = 6, tables: Int = 12,
       dim: Int = 64): DataFrame = {
     val planeSets = (0 until tables)
-      .map(t => hyperplanes(bits, dim, seed + 1000L * t))
+      .map(t => hyperplanes(bits, dim, t.toString))
     def bucketed(df: DataFrame, idCol: String, vecCol: String) =
       df.select(col(idCol), col(vecCol),
         explode(array(planeSets.zipWithIndex.map { case (p, t) =>
@@ -103,8 +104,8 @@ object Similarity {
     * SRP bucket (+ Hamming-1) then exact verification. (vec_a < vec_b.)
     */
   def nearDupPairs(corpus: DataFrame, threshold: Double,
-      bits: Int = 12, seed: Long = 42L, dim: Int = 64): DataFrame = {
-    val planes = hyperplanes(bits, dim, seed)
+      bits: Int = 12, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(bits, dim, "nd")
     val c = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("v"))
       .withColumn("n", l2norm(col("v")))

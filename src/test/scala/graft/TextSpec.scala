@@ -82,9 +82,19 @@ class TextSpec extends AnyFunSuite {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(hashes(1L), hashes(3L)) <= 16)
     assert(ham(hashes(1L), hashes(4L)) > 16)
-    val pairs = Dedup.simhashPairs(d, maxDist = 16)
+    val pairs = Dedup.simhashPairs(d, maxDist = 3)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L)))
+    // the 4-chunk pigeonhole index is exhaustive at the contract distance:
+    // exactly the brute-force pairs at Hamming <= 3, no misses
+    val brute = (for {
+      (a, ha) <- hashes.toSeq; (b, hb) <- hashes.toSeq
+      if a < b && ham(ha, hb) <= 3
+    } yield (a, b)).toSet
+    assert(pairs == brute)
+    // distances beyond the pigeonhole guarantee are rejected, not silently
+    // under-recalled (VERDICT r1 contract fix)
+    intercept[IllegalArgumentException](Dedup.simhashPairs(d, maxDist = 10))
   }
 
   test("langid is deterministic and assigns every doc a trained language") {
