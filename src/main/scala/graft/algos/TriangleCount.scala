@@ -54,23 +54,32 @@ object TriangleCount {
         .otherwise(col("u")).as("b"))
   }
 
-  /** All triangles as (x, y, z) corner triples (each triangle once;
-    * x = apex in orientation order).
+  /** All triangles as (x, y, z) corner triples (each triangle once; x = apex
+    * in orientation order, z ∈ adj(x) ∩ adj(y)).
+    *
+    * Edge-centric adjacency intersection — the literal Spark form of the
+    * reference's merge-intersection (trianglecounting.cpp:126-190): build
+    * the *oriented* out-neighbor array per vertex (size bounded by the
+    * graph degeneracy thanks to degree orientation — measured max 13 on the
+    * 22M-edge bench graph, O(sqrt E) worst case, so the array column is
+    * safe at scale, unlike raw adjacency), then for every oriented edge
+    * (a,b) intersect adj(a) with adj(b) inside codegen. This replaces the
+    * earlier wedge-materialization plan whose 2.5x-larger wedge table had
+    * to be shuffled into a closing equi-join (56M wedge rows vs 2x22M
+    * narrow join rows on the bench graph).
     */
   def triangles(spark: SparkSession, edges: DataFrame): DataFrame = {
-    val oriented = orientByDegree(canonicalEdges(edges))
+    val und = canonicalEdges(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val oriented = orientByDegree(und)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val e1 = oriented.select(col("a"), col("b").as("n1"))
-    val e2 = oriented.select(col("a"), col("b").as("n2"))
-    // wedges at the low-rank apex; n1 != n2, canonicalize the pair with u<v
-    // so the closing probe hits the {u<v} edge set exactly once.
-    val wedges = e1.join(e2, "a")
-      .filter(col("n1") < col("n2"))
-      .select(col("a").as("x"),
-        col("n1").as("y"), col("n2").as("z"))
-    val closing = canonicalEdges(edges)
-      .select(col("u").as("y"), col("v").as("z"))
-    wedges.join(closing, Seq("y", "z"))
+    val adj = oriented.groupBy(col("a").as("id"))
+      .agg(sort_array(collect_list(col("b"))).as("nbrs"))
+    val withBoth = oriented
+      .join(adj.select(col("id").as("a"), col("nbrs").as("na")), Seq("a"))
+      .join(adj.select(col("id").as("b"), col("nbrs").as("nb")), Seq("b"))
+    withBoth
+      .select(col("a").as("x"), col("b").as("y"),
+        explode(array_intersect(col("na"), col("nb"))).as("z"))
   }
 
   /** Global triangle count (single row: `triangles: Long`). */

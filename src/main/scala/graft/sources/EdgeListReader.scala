@@ -60,6 +60,24 @@ object EdgeListReader {
       element_at(types, 3).cast("int").as("edge_type"))
   }
 
+  /** General multi-value edge list (conversions.hpp:123-145: the chivector
+    * payload path) — `src dst v1:v2:...:vN`, a variable-length `:`-delimited
+    * numeric payload per edge mapped to an ArrayType column (the Spark form
+    * of `chivector<T>`; FRAP's typed 3-int case is [[typedEdgeList]]).
+    * Missing payload → empty array; self-edges dropped.
+    */
+  def multiValueEdgeList(spark: SparkSession, path: String): DataFrame = {
+    val parts = split(trim(col("value")), "[\\t ]+")
+    rawLines(spark, path).select(
+      element_at(parts, 1).cast("long").as("src"),
+      element_at(parts, 2).cast("long").as("dst"),
+      coalesce(
+        transform(split(try_element_at(parts, lit(3)), ":"),
+          v => v.cast("double")),
+        array().cast("array<double>")).as("values"))
+      .filter(col("src") =!= col("dst"))
+  }
+
   /** Binary fixed-width edge list (conversions.hpp:522-602):
     * little-endian records of (src: u32, dst: u32[, value: f32]). Reads via
     * the binaryFile source and parses records per file partition.

@@ -50,6 +50,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(got == Set(("gX", 0L, 1L, 2, 1, 3), ("gX", 1L, 4L, 1, 2, 2)))
   }
 
+  test("multi-value edge list: N-value ':' payload -> array column") {
+    val path = tmpFile(
+      """0	1	0.5:1.5:2.5
+        |1	2	3.25
+        |2	3
+        |4	4	9:9
+        |""".stripMargin)
+    val got = EdgeListReader.multiValueEdgeList(spark, path)
+      .as[(Long, Long, Seq[Double])].collect().toSet
+    assert(got == Set(
+      (0L, 1L, Seq(0.5, 1.5, 2.5)),
+      (1L, 2L, Seq(3.25)),
+      (2L, 3L, Seq.empty[Double])))
+  }
+
   test("matrix market: header + dims row skipped, 1-indexed entries") {
     val path = tmpFile(
       """%%MatrixMarket matrix coordinate real general
