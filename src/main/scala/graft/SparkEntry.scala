@@ -170,6 +170,24 @@ object SparkEntry {
           graft.derive.CodeLakehouse.table(s, 5000L)))
         .orderBy(col("repo"), col("path"))),
 
+    // ---- collaborative filtering (itemcf.cpp flagship) ----------------------
+    "cf_item_similarity" -> ((s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val li = Tables(s, dir, "lineitem")
+      val inter = orders
+        .select(col("o_custkey").as("user"), col("o_orderkey").as("ok"))
+        .join(li.select(col("l_orderkey").as("ok"),
+          col("l_partkey").as("item")), "ok")
+        .select("user", "item").distinct()
+      val sims = graft.cf.ItemCF.pairSimilarities(inter, minIntersection = 2)
+      // rank by Jaccard: a single IEEE division of identical ints in both
+      // engines (bit-stable ordering, unlike the pow-based asym cosine)
+      graft.cf.ItemCF.topKSimilar(sims, "jaccard", 5)
+        .select(col("item"), col("other"),
+          floor(col("sim") * 1e6 + 0.5).cast("long").as("sim_q6"), col("rank"))
+        .orderBy(col("item"), col("rank"))
+    }),
+
     // ---- PROV-JSON (CamFlow) ingest -----------------------------------------
     "prov_json_edges" -> ((s, _) => {
       val docs = Fixtures.persist(s, "prov_json_docs",
@@ -336,6 +354,36 @@ object SparkEntry {
          |SELECT id, (id // 8) * 8 + ((id // 8) % 7) AS scc
          |FROM v ORDER BY id""".stripMargin,
     "kcores" -> graft.algos.KCores.oracleSql(E),
+    "cf_item_similarity" ->
+      """WITH inter AS MATERIALIZED (
+        |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |udeg AS (SELECT u, COUNT(*) AS udeg FROM inter GROUP BY 1),
+        |ideg AS MATERIALIZED (SELECT i, COUNT(*) AS ideg FROM inter GROUP BY 1),
+        |bounded AS (
+        |  SELECT inter.u, inter.i FROM inter JOIN udeg USING (u)
+        |  WHERE udeg <= 1000),
+        |co AS MATERIALIZED (
+        |  SELECT a.i AS item_a, b.i AS item_b, CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM bounded a JOIN bounded b ON a.u = b.u AND a.i < b.i
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |sims AS (
+        |  SELECT item_a, item_b,
+        |         x / (sa.ideg + sb.ideg - x) AS jaccard
+        |  FROM co
+        |  JOIN ideg sa ON sa.i = item_a
+        |  JOIN ideg sb ON sb.i = item_b),
+        |sym AS (
+        |  SELECT item_a AS item, item_b AS other, jaccard AS sim FROM sims
+        |  UNION ALL SELECT item_b, item_a, jaccard FROM sims),
+        |r AS (
+        |  SELECT item, other, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY item
+        |                            ORDER BY sim DESC, other) AS rank
+        |  FROM sym)
+        |SELECT item, other, CAST(FLOOR(sim * 1e6 + 0.5) AS BIGINT) AS sim_q6,
+        |       CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY item, rank""".stripMargin,
     "prov_json_edges" -> {
       val fx = Fixtures.sqlOf("prov_json_docs")
       val vvocab = graft.sources.ProvJsonReader.VertexTypes

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cf.{Factorize, ItemCF}
+
+class CfSpec extends AnyFunSuite {
+  lazy val spark = TestSessions.spark
+  import spark.implicits._
+
+  // users -> items: u1:{A,B,C} u2:{A,B} u3:{B,C} u4:{A}
+  private def inter = Seq(
+    (1L, "A"), (1L, "B"), (1L, "C"),
+    (2L, "A"), (2L, "B"),
+    (3L, "B"), (3L, "C"),
+    (4L, "A")).toDF("user", "item")
+
+  test("itemcf pair metrics match hand-computed values") {
+    val sims = ItemCF.pairSimilarities(inter, minIntersection = 1)
+      .as[(String, String, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    // (A,B): common users {1,2}; |A|=3 |B|=3
+    val ab = sims(("A", "B"))
+    assert(ab._3 == 2 && ab._4 == 3 && ab._5 == 3)
+    assert(math.abs(ab._6 - 2.0 / 4.0) < 1e-12) // jaccard
+    // AA: 1/log(3) + 1/log(2); RA: 1/3 + 1/2 (udeg(1)=3, udeg(2)=2)
+    assert(math.abs(ab._7 - (1 / math.log(3) + 1 / math.log(2))) < 1e-12)
+    assert(math.abs(ab._8 - (1.0 / 3 + 1.0 / 2)) < 1e-12)
+    assert(math.abs(ab._9 - 2.0 / 3.0) < 1e-12) // cos: 2/sqrt(9)
+    // (A,C): common {1}; |A|=3 |C|=2
+    val ac = sims(("A", "C"))
+    assert(ac._3 == 1 && math.abs(ac._6 - 1.0 / 4.0) < 1e-12)
+    // min intersection filter
+    val sims2 = ItemCF.pairSimilarities(inter, minIntersection = 2)
+    assert(sims2.count() == 2) // (A,B) and (B,C)
+  }
+
+  test("itemcf recommend scores unseen items only") {
+    val sims = ItemCF.pairSimilarities(inter, minIntersection = 1)
+    val recs = ItemCF.recommend(inter, sims, "jaccard", k = 3)
+      .as[(Long, String, Double, Int)].collect()
+    // user 2 has {A,B}: only C is recommendable
+    val u2 = recs.filter(_._1 == 2L)
+    assert(u2.map(_._2).toSet == Set("C"))
+    // user 4 has {A}: B and C recommendable, B ranks first
+    // (sim(A,B)=0.5 > sim(A,C)=0.25)
+    val u4 = recs.filter(_._1 == 4L).sortBy(_._4)
+    assert(u4.map(_._2).toSeq == Seq("B", "C"))
+  }
+
+  test("ALS factorization recovers a planted low-rank rating matrix") {
+    // planted rank-2 factors, deterministic
+    val r = new scala.util.Random(7)
+    val uf = Array.fill(30, 2)(r.nextDouble())
+    val itf = Array.fill(20, 2)(r.nextDouble())
+    val ratings = (for {
+      u <- 0 until 30; i <- 0 until 20
+      if (u * 20 + i) % 3 != 0 // hold out a third
+    } yield (u, i, (uf(u)(0) * itf(i)(0) + uf(u)(1) * itf(i)(1)).toFloat))
+      .toDF("user", "item", "rating")
+    val m = Factorize.als(ratings, rank = 4, iters = 10, regParam = 0.01)
+    val e = Factorize.rmse(m, ratings)
+    assert(e < 0.05, s"training rmse $e")
+    // deterministic with the same seed
+    val e2 = Factorize.rmse(
+      Factorize.als(ratings, rank = 4, iters = 10, regParam = 0.01), ratings)
+    assert(e == e2)
+  }
+}
