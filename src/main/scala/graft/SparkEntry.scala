@@ -272,10 +272,14 @@ object SparkEntry {
         .orderBy(col("graph_id"))
     }),
 
-    // ---- multimodal plumbing (synthetic binary media) -----------------------
+    // ---- multimodal plumbing (synthetic binary media, persisted so the
+    // oracle can recompute the features from the same raw bytes) ------------
     "multimodal_features" -> ((s, dir) => {
+      import s.implicits._
       val docs = Tables(s, dir, "documents").select(col("doc_id")).limit(200)
-      val media = graft.multimodal.Multimodal.synthesize(s, docs, "doc_id")
+      val media = Fixtures.persist(s, "media_200",
+          graft.multimodal.Multimodal.synthesize(s, docs, "doc_id").toDF())
+        .as[graft.multimodal.Multimodal.MediaRow]
       graft.multimodal.Multimodal.extractFeatures(media)
         .toDF().orderBy(col("media_id"))
     })
@@ -805,6 +809,31 @@ object SparkEntry {
         |  JOIN n na ON na.vec_id = a.vec_id
         |  JOIN n nb ON nb.vec_id = b.vec_id)
         |WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    "multimodal_features" ->
+      // recompute every feature from the persisted raw bytes: header fields
+      // from hex positions, byte-mean over the payload (integer-valued
+      // partial sums < 2^53 are exact in both engines), frame-sample count
+      // arithmetically
+      s"""WITH m AS (SELECT media_id, modality, bytes
+         |           FROM ${Fixtures.sqlOf("media_200")}),
+         |hx AS MATERIALIZED (
+         |  SELECT media_id, modality, hex(bytes) AS h,
+         |         CAST(octet_length(bytes) AS BIGINT) AS n
+         |  FROM m),
+         |pay AS (
+         |  SELECT media_id,
+         |         AVG(('0x' || substr(h, CAST(13 + i * 2 AS INT), 2))::BIGINT)
+         |           AS mean
+         |  FROM (SELECT media_id, h, unnest(range(n - 6)) AS i FROM hx)
+         |  GROUP BY 1)
+         |SELECT hx.media_id, hx.modality, hx.n AS n_bytes,
+         |  ('0x' || substr(h, 3, 4))::INT AS width,
+         |  ('0x' || substr(h, 7, 4))::INT AS height,
+         |  ('0x' || substr(h, 11, 2))::INT AS channels,
+         |  CAST(FLOOR(p.mean * 1e6 + 0.5) AS BIGINT) AS mean_q6,
+         |  CAST((CAST(CEIL((hx.n - 6) / 64.0) AS BIGINT) - 1) // 4 + 1 AS INT)
+         |    AS frames_sampled
+         |FROM hx JOIN pay p USING (media_id) ORDER BY media_id""".stripMargin,
     "events_windowed" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n,
