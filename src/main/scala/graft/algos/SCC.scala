@@ -49,21 +49,31 @@ object SCC {
       }
 
       // --- 2+3. backward confirmation within color classes --------------
-      var inScc = colors.filter(col("color") === col("id"))
+      // Frontier-batched: only vertices confirmed LAST round probe their
+      // predecessors (one action per round, joins shrink with the frontier —
+      // round 1 re-joined the whole confirmed set and counted twice).
+      val roots = colors.filter(col("color") === col("id"))
         .select(col("id"), col("id").as("scc"))
         .localCheckpoint(true)
-      var grew = 1L
+      var inScc = roots
+      var frontier = roots
+      var grew = frontier.count()
       while (grew > 0) {
-        val before = inScc.count()
-        val preds = inScc
-          .join(liveEdges, inScc("id") === liveEdges("dst"))
+        val preds = frontier
+          .join(liveEdges, frontier("id") === liveEdges("dst"))
           .select(col("src").as("id"), col("scc"))
         // predecessor joins the SCC iff it has the same forward color
         val confirmed = preds.join(colors.withColumnRenamed("id", "cid"),
           preds("id") === col("cid") && preds("scc") === col("color"))
-          .select(col("id"), col("scc"))
-        inScc = inScc.unionAll(confirmed).distinct().localCheckpoint(true)
-        grew = inScc.count() - before
+          .select(col("id"), col("scc")).distinct()
+          .join(inScc.select(col("id").as("did")), col("id") === col("did"),
+            "left_anti")
+          .localCheckpoint(true)
+        grew = confirmed.count()
+        if (grew > 0) {
+          inScc = inScc.unionAll(confirmed).localCheckpoint(true)
+          frontier = confirmed
+        }
       }
 
       result = if (result == null) inScc else result.unionAll(inScc)
