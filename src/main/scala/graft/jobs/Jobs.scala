@@ -18,9 +18,14 @@ import graft.engine.{DurableStore, LocalStore}
   * real cluster).
   */
 object Jobs {
-  def session(appName: String): SparkSession = {
+  /** @param aqe one-shot jobs benefit from AQE; iterative jobs must run with
+    *   it OFF (AQE discards the checkpointed state's outputPartitioning and
+    *   re-exchanges both superstep join sides — see BENCH.md plan audit /
+    *   PlanSpec)
+    */
+  def session(appName: String, aqe: Boolean): SparkSession = {
     val b = SparkSession.builder().appName(appName)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe.toString)
       .config("spark.sql.session.timeZone", "UTC")
     // spark-submit provides the master on a cluster; default for sandbox
     val withMaster =
@@ -64,7 +69,7 @@ object Jobs {
 object DeriveJob {
   def main(args: Array[String]): Unit = {
     val conf = Jobs.parseArgs(args)
-    val spark = Jobs.session("graft-derive")
+    val spark = Jobs.session("graft-derive", aqe = true)
     val files = conf.get("files") match {
       case Some(p) if p.forall(_.isDigit) => CodeLakehouse.table(spark, p.toLong)
       case Some(p)                        => spark.read.parquet(p)
@@ -84,7 +89,7 @@ object DeriveJob {
 object PageRankJob {
   def main(args: Array[String]): Unit = {
     val conf = Jobs.parseArgs(args)
-    val spark = Jobs.session("graft-pagerank")
+    val spark = Jobs.session("graft-pagerank", aqe = false)
     val edges = Jobs.loadEdges(spark, conf.getOrElse("edges", "derive:100000"))
     val res = PageRank.run(spark, edges,
       tol = conf.getOrElse("tol", "1e-6").toDouble,
@@ -104,7 +109,7 @@ object PageRankJob {
 object ConnectedComponentsJob {
   def main(args: Array[String]): Unit = {
     val conf = Jobs.parseArgs(args)
-    val spark = Jobs.session("graft-cc")
+    val spark = Jobs.session("graft-cc", aqe = false)
     val edges = Jobs.loadEdges(spark, conf.getOrElse("edges", "derive:100000"))
     val res = ConnectedComponents.run(spark, edges,
       maxIters = conf.getOrElse("maxIters", "50").toInt,
@@ -121,12 +126,27 @@ object ConnectedComponentsJob {
 object TriangleCountJob {
   def main(args: Array[String]): Unit = {
     val conf = Jobs.parseArgs(args)
-    val spark = Jobs.session("graft-triangles")
+    val spark = Jobs.session("graft-triangles", aqe = true)
     val edges = Jobs.loadEdges(spark, conf.getOrElse("edges", "derive:100000"))
     val out = conf.getOrElse("out", "/tmp/graft-triangles")
     TriangleCount.perVertex(spark, edges).write.mode("overwrite").parquet(out)
     val total = TriangleCount.total(spark, edges).head().getLong(0)
     println(s"""{"job":"triangles","total":$total,"out":"$out"}""")
+    spark.stop()
+  }
+}
+
+object LabelPropagationJob {
+  def main(args: Array[String]): Unit = {
+    val conf = Jobs.parseArgs(args)
+    val spark = Jobs.session("graft-lpa", aqe = false)
+    val edges = Jobs.loadEdges(spark, conf.getOrElse("edges", "derive:100000"))
+    val res = LabelPropagation.run(spark, edges,
+      iters = conf.getOrElse("iters", "10").toInt,
+      store = Jobs.store(spark, conf))
+    val out = conf.getOrElse("out", "/tmp/graft-lpa")
+    res.state.select("id", "label").write.mode("overwrite").parquet(out)
+    println(s"""{"job":"lpa","supersteps":${res.supersteps},"out":"$out"}""")
     spark.stop()
   }
 }
