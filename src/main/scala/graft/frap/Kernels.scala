@@ -108,6 +108,45 @@ object Kernels {
     * small even when graphs are huge; the heavy side is the WL relabeling,
     * which is fully distributed.
     */
+  /** Distributed pairwise Hellinger distance matrix from sparse counts:
+    * with p, q the per-graph count distributions (no back-off — the
+    * reference normalizes raw counts for Hellinger, helper.cpp:85-95),
+    * dist = sqrt(Σ(√p−√q)²)/√2 = sqrt(1 − Σ√(p·q)); the Bhattacharyya dot
+    * needs only the labels present in BOTH graphs — a label equi-join, no
+    * dense arrays. (ga < gb, dist double.)
+    */
+  def hellingerMatrix(kernelCounts: DataFrame): DataFrame = {
+    val tot = kernelCounts.groupBy("graph_id").agg(sum("cnt").as("tot"))
+    val c = kernelCounts.join(tot, "graph_id")
+    val l = c.select(col("graph_id").as("ga"), col("label"),
+      col("cnt").as("ca"), col("tot").as("ta"))
+    val r = c.select(col("graph_id").as("gb"), col("label"),
+      col("cnt").as("cb"), col("tot").as("tb"))
+    // Σ(√p−√q)² = Σ_common(√p−√q)² + Σ_only-a p + Σ_only-b q. The only-in-
+    // one-graph masses are computed from EXACT integer count sums
+    // ((tot−Σ_common cnt)/tot) — the 1−Σp float form leaves a ~1e-16
+    // residue that sqrt blows up to 1e-8 on identical graphs.
+    val dots = l.join(r, "label").filter(col("ga") < col("gb"))
+      .groupBy("ga", "gb").agg(
+        sum(pow(sqrt(col("ca").cast("double") / col("ta")) -
+          sqrt(col("cb").cast("double") / col("tb")), 2)).as("common_sq"),
+        sum("ca").as("cca"), sum("cb").as("ccb"),
+        first("ta").as("ta"), first("tb").as("tb"))
+    val gs = tot.select(col("graph_id"), col("tot"))
+    val pairs = gs.select(col("graph_id").as("ga"), col("tot").as("tota"))
+      .crossJoin(gs.select(col("graph_id").as("gb"), col("tot").as("totb")))
+      .filter(col("ga") < col("gb"))
+    pairs.join(dots, Seq("ga", "gb"), "left")
+      .select(col("ga"), col("gb"),
+        (sqrt(
+          coalesce(col("common_sq"), lit(0.0)) +
+            (col("tota") - coalesce(col("cca"), lit(0L))).cast("double")
+              / col("tota") +
+            (col("totb") - coalesce(col("ccb"), lit(0L))).cast("double")
+              / col("totb")) / math.sqrt(2.0))
+          .as("dist"))
+  }
+
   def euclideanMatrix(kernelCounts: DataFrame): DataFrame = {
     val norms = kernelCounts.groupBy("graph_id")
       .agg(sum(col("cnt") * col("cnt")).as("sq"))

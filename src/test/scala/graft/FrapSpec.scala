@@ -71,6 +71,49 @@ class FrapSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed Hellinger matrix matches the driver-side formula") {
+    val edges = ProvGen.corpus(spark, nNormal = 4, nAbnormal = 1)
+    val counts = WLRelabel.kernelCounts(WLRelabel.run(edges, iters = 2)).cache()
+    val ids = counts.select("graph_id").distinct()
+      .as[String].collect().sorted.toSeq
+    val dict = Kernels.dictionary(counts)
+    val dsize = dict.count().toInt
+    val arr = Kernels.countArrays(counts, dict, dsize).collect()
+      .map(r => r.getString(0) -> r.getSeq[Int](1).toArray).toMap
+    val got = Kernels.hellingerMatrix(counts)
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for (i <- ids.indices; j <- i + 1 until ids.size) {
+      val want = Kernels.distance(Kernels.Hellinger, arr(ids(i)), arr(ids(j)))
+      val key = if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
+      assert(math.abs(got(key) - want) < 1e-9, s"pair $key")
+    }
+  }
+
+  test("LDA topics on a planted two-topic corpus are deterministic") {
+    import graft.cf.Topics
+    // two word families: docs 0..9 use words 0..4, docs 10..19 words 5..9
+    val counts = (for {
+      d <- 0 until 20; w <- 0 until 5
+    } yield (d.toLong, (if (d < 10) w else w + 5), 3L + (d + w) % 4))
+      .toDF("doc", "word", "cnt")
+    val m = Topics.lda(spark, counts, vocabSize = 10, k = 2, iters = 15)
+    assert(m.docTopics.count() == 20)
+    assert(!m.logPerplexity.isNaN)
+    val m2 = Topics.lda(spark, counts, vocabSize = 10, k = 2, iters = 15)
+    assert(m.logPerplexity == m2.logPerplexity) // seeded determinism
+    // the two planted families should mostly separate into distinct
+    // dominant topics
+    val dom = m.docTopics.collect().map { r =>
+      val v = r.getAs[org.apache.spark.ml.linalg.Vector]("topicDistribution")
+      (r.getLong(0), v.argmax)
+    }.toMap
+    val fam0 = (0L until 10L).map(dom)
+    val fam1 = (10L until 20L).map(dom)
+    assert(fam0.groupBy(identity).values.map(_.size).max >= 8)
+    assert(fam1.groupBy(identity).values.map(_.size).max >= 8)
+  }
+
   test("kmeans prior + kmeans: single behavior family forms one big cluster") {
     val arrays = (0 until 8).map { i =>
       Array(40 + i, 20, 10 + (i % 3), 5, 1)
