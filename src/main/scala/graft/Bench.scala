@@ -48,6 +48,11 @@ object Bench {
       // per-node-scaling bandwidth assumption for the core-scaling probe
       .config("spark.local.dir",
         sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/graft-spark"))
+      // Kryo for the RDD paths (CsrPageRank blocks + rank tuples): Java
+      // serialization of boxed Tuple2s was the CSR plan's measured handicap
+      // (VERDICT r2 item 5). DataFrame paths are Tungsten-encoded either way.
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.kryo.registrator", "graft.plans.GraftKryoRegistrator")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -19,11 +19,16 @@ object GraphOps {
   /** Deterministic per-edge keep decision: two-round Lehmer hash of
     * (src, dst, seed) — pure 64-bit integer arithmetic so the DuckDB oracle
     * computes the identical open-edge set (xxhash64 is Spark-only).
+    * Ids are reduced mod P before the multiplies, so every intermediate stays
+    * below 2^63 for ANY non-negative long id (ADVICE r2: the unreduced form
+    * silently wrapped negative above src ≈ 3.5e9, biasing the keep decision
+    * in Spark while DuckDB errored).
     */
   def edgeKeepFrac(src: org.apache.spark.sql.Column,
       dst: org.apache.spark.sql.Column, seed: Long): org.apache.spark.sql.Column = {
     val P = 2147483647L
-    ((src * lit(2654435761L) + dst * lit(40503L) + lit(seed)) % P * 48271L % P)
+    (((src % P) * lit(2654435761L) + (dst % P) * lit(40503L) + lit(seed % P))
+      % P * 48271L % P)
       .cast("double") / P.toDouble
   }
 
@@ -52,7 +57,8 @@ object GraphOps {
        |),
        |open AS MATERIALIZED (
        |  SELECT src, dst FROM edges
-       |  WHERE CAST((src * 2654435761 + dst * 40503 + $seed)
+       |  WHERE CAST(((src % 2147483647) * 2654435761
+       |              + (dst % 2147483647) * 40503 + (${seed % 2147483647L}))
        |          % 2147483647 * 48271 % 2147483647 AS DOUBLE)
        |        / 2147483647.0 < $p),
        |und AS MATERIALIZED (

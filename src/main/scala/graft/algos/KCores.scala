@@ -26,7 +26,23 @@ import graft.core.LinkGraph
   */
 object KCores {
 
-  /** (id, coreness) for every vertex of the undirected graph. */
+  /** Per-round changed-vertex counts of the most recent [[coreness]] run —
+    * diagnostic evidence that the frontier collapses (VERDICT r2 item 9).
+    */
+  @volatile private[graft] var lastRoundChanged: List[Long] = Nil
+
+  /** (id, coreness) for every vertex WITH DEGREE >= 1 of the undirected
+    * graph (state is seeded from edge endpoints; isolated vertices — which
+    * can only appear if the caller's edge table mentions them nowhere — have
+    * coreness 0 by definition and are not listed; left-join
+    * [[graft.core.LinkGraph.vertices]] to add them back if needed).
+    *
+    * Frontier: a vertex's h-index can only change when a NEIGHBOR's value
+    * changed last round, so each round recomputes h only over edges whose
+    * source has a changed neighbor — like CC's delta iteration, the
+    * recompute set collapses geometrically once the low-core periphery
+    * settles, leaving rounds that touch just the contested core boundary.
+    */
   def coreness(spark: SparkSession, edges: DataFrame,
       maxIters: Int = 200): DataFrame = {
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -39,10 +55,17 @@ object KCores {
     var state = und.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("core")) // core_0 = degree
       .localCheckpoint(true)
+    var changedSet = state.select("id") // round 0: everyone just changed
     var iter = 0
     var changed = 1L
+    val rounds = List.newBuilder[Long]
     while (changed > 0 && iter < maxIters) {
-      val nbrVals = und
+      // recompute h only where it can move: vertices with a changed neighbor
+      val touched = und
+        .join(changedSet.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src")).distinct()
+      val activeEdges = und.join(touched, Seq("src"), "left_semi")
+      val nbrVals = activeEdges
         .join(state.select(col("id").as("nid"), col("core").as("nval")),
           col("dst") === col("nid"))
         .select(col("src").as("id"), col("nval"))
@@ -50,14 +73,21 @@ object KCores {
       val h = nbrVals
         .withColumn("rn", row_number().over(w).cast("long"))
         .groupBy("id").agg(max(least(col("rn"), col("nval"))).as("h"))
-      val next = state.join(h, "id")
-        .select(col("id"), least(col("core"), col("h")).as("core"),
-          (col("core") > col("h")).cast("long").as("chg"))
+      // left join: untouched vertices keep their core (h is monotone
+      // non-increasing, so least() with the old value is the fixpoint rule)
+      val next = state.join(h, Seq("id"), "left")
+        .select(col("id"),
+          least(col("core"), coalesce(col("h"), col("core"))).as("core"),
+          (col("core") > coalesce(col("h"), col("core"))).cast("long")
+            .as("chg"))
         .localCheckpoint(true)
       changed = next.agg(coalesce(sum("chg"), lit(0L))).head().getLong(0)
+      rounds += changed
+      changedSet = next.filter(col("chg") === 1).select("id")
       state = next.select("id", "core")
       iter += 1
     }
+    lastRoundChanged = rounds.result()
     und.unpersist(false)
     state.select(col("id"), col("core").as("coreness"))
   }

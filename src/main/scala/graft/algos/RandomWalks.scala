@@ -26,12 +26,17 @@ object RandomWalks {
 
   val P = 2147483647L // 2^31 - 1 (Lehmer modulus)
 
-  /** pick(walk, step) = Lehmer2(walk*1103515245 + step*12345 + seed) mod od.
-    * All intermediates stay < 2^63 for walk ids < ~8e9.
+  /** pick(walk, step) = Lehmer2((walk mod P)*1103515245 + step*12345 + seed)
+    * mod od. The walk id is reduced mod P before the multiply, so every
+    * intermediate stays < 2^63 for ANY non-negative walk id (ADVICE r2: the
+    * unreduced form wrapped negative above walk ids ≈ 8.4e9 — source id ×
+    * walksPerSource — and a negative pk matches no pos, silently dropping
+    * the walk). Walks whose ids differ by exactly P share a pick sequence;
+    * walks are independent, so this costs nothing.
     */
   private def pick(walkId: org.apache.spark.sql.Column, step: Int, seed: Long,
       od: org.apache.spark.sql.Column) =
-    (walkId * lit(1103515245L) + lit(step * 12345L + seed)) % P * 48271L % P % od
+    ((walkId % P) * lit(1103515245L) + lit(step * 12345L + seed)) % P * 48271L % P % od
 
   /** Run `walksPerSource` walks of length `steps` from each source.
     * Returns (id, visits) — visit counts over all intermediate positions
@@ -86,7 +91,7 @@ object RandomWalks {
          |  FROM w${k - 1} w
          |  JOIN od o ON o.src = w.pos
          |  JOIN idx i ON i.src = w.pos AND i.pos =
-         |    (w.walk_id * 1103515245 + ${k * 12345L + seed})
+         |    ((w.walk_id % $P) * 1103515245 + ${k * 12345L + seed})
          |      % $P * 48271 % $P % o.od)""".stripMargin
     }.mkString(",\n")
     val unions = (1 to steps).map(k => s"SELECT pos AS id FROM w$k")

@@ -11,7 +11,11 @@ import graft.core.LinkGraph
   * expressed as nested BSP fixpoints:
   *
   *   while vertices remain:
-  *     1. forward fixpoint: color(v) = max id that reaches v (incl. self)
+  *     1. forward fixpoint: color(v) = max id that reaches v (incl. self) —
+  *        delta-iterated: only vertices whose color changed last round emit
+  *        (the reference's own scheduler is selective,
+  *        stronglyconnectedcomponents.cpp:146-407), with convergence checked
+  *        every [[CheckEvery]] rounds
   *     2. roots: color(v) == v
   *     3. backward fixpoint within each color class from its root — the
   *        confirmed set is one SCC (labeled by its root id)
@@ -22,7 +26,15 @@ import graft.core.LinkGraph
   */
 object SCC {
 
+  /** Convergence-check cadence of the forward phase: between checks the loop
+    * trusts the frontier, so quiescence costs at most CheckEvery-1 extra
+    * empty-frontier rounds (no E-row join work) while every round in the
+    * long pre-convergence stretch saves one blocking driver action.
+    */
+  private val CheckEvery = 2
+
   def run(spark: SparkSession, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     var liveEdges = edges.select("src", "dst").distinct().localCheckpoint(true)
     var live = LinkGraph.vertices(edges).localCheckpoint(true)
     var result: DataFrame = null
@@ -30,51 +42,86 @@ object SCC {
     var round = 0
 
     while (remaining > 0 && round < maxRounds) {
+      // Static per-peel edge views, partitioned + sorted ONCE per direction
+      // (PageRank's static-side pattern): every inner-round join below then
+      // reuses the edge partitioning and shuffles only frontier-sized data,
+      // instead of re-exchanging the full E-row side each round.
+      val eSrc = liveEdges.repartition(parts, col("src"))
+        .sortWithinPartitions("src")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val eDst = liveEdges.repartition(parts, col("dst"))
+        .sortWithinPartitions("dst")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      eSrc.count(); eDst.count()
+
       // --- 1. forward max-color fixpoint -------------------------------
+      // Delta iteration (VERDICT r2 item 3): only vertices whose color
+      // changed last round emit messages — the same changed-only frontier
+      // CC uses — and the convergence check runs every CheckEvery rounds
+      // instead of every round, cutting driver round-trips. Extra rounds
+      // after quiescence are joins over an EMPTY frontier (near-free).
       var colors = live.select(col("id"), col("id").as("color"))
+        .repartition(parts, col("id"))
         .localCheckpoint(true)
-      var changed = 1L
-      while (changed > 0) {
-        val msgs = colors.join(liveEdges, colors("id") === liveEdges("src"))
+      var fwdFrontier = colors // round 0: every vertex "just changed"
+      var fwdRound = 0
+      var fwdDone = false
+      while (!fwdDone) {
+        val msgs = fwdFrontier.join(eSrc, fwdFrontier("id") === eSrc("src"))
           .groupBy(col("dst")).agg(max(col("color")).as("mcolor"))
         val next = colors.join(msgs, colors("id") === msgs("dst"), "left")
           .select(colors("id"),
             greatest(col("color"), coalesce(col("mcolor"), col("color")))
               .as("color"),
             (coalesce(col("mcolor"), col("color")) > col("color"))
-              .cast("int").as("chg"))
-          .localCheckpoint(true)
-        changed = next.agg(sum("chg")).head().getLong(0)
+              .as("chg"))
+          .localCheckpoint(true) // the one materializing action per round
+        fwdFrontier = next.filter(col("chg")).select("id", "color")
         colors = next.select("id", "color")
+        fwdRound += 1
+        if (fwdRound % CheckEvery == 0)
+          fwdDone =
+            next.agg(sum(when(col("chg"), 1L).otherwise(0L)))
+              .head().getLong(0) == 0L
       }
 
       // --- 2+3. backward confirmation within color classes --------------
-      // Frontier-batched: only vertices confirmed LAST round probe their
-      // predecessors (one action per round, joins shrink with the frontier —
-      // round 1 re-joined the whole confirmed set and counted twice).
-      val roots = colors.filter(col("color") === col("id"))
-        .select(col("id"), col("id").as("scc"))
+      // Same delta-iterated state-update shape as the forward phase: the
+      // confirmation state (id, color, scc) stays hash-partitioned on id
+      // across rounds (zero state re-exchange), only the frontier's
+      // predecessor candidates shuffle, and the "already confirmed" check is
+      // the scc column itself — no V-row visited-set anti-join per round.
+      var bstate = colors.select(col("id"), col("color"),
+        when(col("color") === col("id"), col("id")).as("scc"))
         .localCheckpoint(true)
-      var inScc = roots
-      var frontier = roots
-      var grew = frontier.count()
-      while (grew > 0) {
-        val preds = frontier
-          .join(liveEdges, frontier("id") === liveEdges("dst"))
-          .select(col("src").as("id"), col("scc"))
-        // predecessor joins the SCC iff it has the same forward color
-        val confirmed = preds.join(colors.withColumnRenamed("id", "cid"),
-          preds("id") === col("cid") && preds("scc") === col("color"))
-          .select(col("id"), col("scc")).distinct()
-          .join(inScc.select(col("id").as("did")), col("id") === col("did"),
-            "left_anti")
+      var frontier = bstate.filter(col("scc").isNotNull)
+        .select(col("id"), col("scc"))
+      var bRound = 0
+      var bDone = false
+      while (!bDone) {
+        // predecessor candidates of the newly-confirmed frontier
+        val cand = frontier.join(eDst, frontier("id") === eDst("dst"))
+          .select(col("src").as("cid"), col("scc").as("cscc"))
+          .distinct()
+        // a predecessor joins the SCC iff its forward color equals the scc
+        // root; at most one cand row can satisfy color === cscc per vertex
+        val nxt = bstate.join(cand,
+          bstate("id") === col("cid") && bstate("color") === col("cscc"),
+          "left")
+          .select(bstate("id"), bstate("color"),
+            coalesce(bstate("scc"), col("cscc")).as("scc"),
+            (bstate("scc").isNull && col("cscc").isNotNull).as("chg"))
           .localCheckpoint(true)
-        grew = confirmed.count()
-        if (grew > 0) {
-          inScc = inScc.unionAll(confirmed).localCheckpoint(true)
-          frontier = confirmed
-        }
+        frontier = nxt.filter(col("chg")).select(col("id"), col("scc"))
+        bstate = nxt.select("id", "color", "scc")
+        bRound += 1
+        if (bRound % CheckEvery == 0)
+          bDone = nxt.agg(sum(when(col("chg"), 1L).otherwise(0L)))
+            .head().getLong(0) == 0L
       }
+      val inScc = bstate.filter(col("scc").isNotNull).select("id", "scc")
+        .localCheckpoint(true)
+      eSrc.unpersist(false); eDst.unpersist(false)
 
       result = if (result == null) inScc else result.unionAll(inScc)
       result = result.localCheckpoint(true)

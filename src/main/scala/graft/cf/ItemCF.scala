@@ -38,9 +38,13 @@ object ItemCF {
   def pairSimilarities(inter: DataFrame, minIntersection: Long = 1L,
       alpha: Double = 0.5, maxUserDegree: Long = 1000L): DataFrame = {
     val userDeg = inter.groupBy("user").agg(count(lit(1)).as("udeg"))
-    val itemDeg = inter.groupBy("item").agg(count(lit(1)).as("ideg"))
     val bounded = inter.join(userDeg, "user")
       .filter(col("udeg") <= maxUserDegree)
+    // item degrees from the SAME bounded table the intersections count over,
+    // so jaccard/asym_cosine keep their documented |I∩|/(|a|+|b|−|I∩|) form
+    // when the power-user cap binds (ADVICE r2: degrees from the uncapped
+    // table silently deflated both metrics for items touched by capped users)
+    val itemDeg = bounded.groupBy("item").agg(count(lit(1)).as("ideg"))
     val a = bounded.select(col("user"), col("item").as("item_a"),
       col("udeg"))
     val b = bounded.select(col("user"), col("item").as("item_b"))

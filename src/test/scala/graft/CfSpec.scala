@@ -35,6 +35,26 @@ class CfSpec extends AnyFunSuite {
     assert(sims2.count() == 2) // (A,B) and (B,C)
   }
 
+  test("itemcf metrics stay internally consistent when the user cap binds") {
+    // cap at 2: user 1 (degree 3) is dropped entirely. Remaining
+    // interactions: u2:{A,B} u3:{B,C} u4:{A} -> bounded degrees |A|=2 |B|=2
+    // |C|=1; (A,B) intersect {u2} -> jaccard = 1/(2+2-1) = 1/3 computed
+    // from the SAME bounded table (ADVICE r2: uncapped degrees broke the
+    // |I∩|/(|a|+|b|-|I∩|) identity).
+    val sims = ItemCF.pairSimilarities(inter, minIntersection = 1,
+      maxUserDegree = 2)
+      .as[(String, String, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().map(r => (r._1, r._2) -> r).toMap
+    val ab = sims(("A", "B"))
+    assert(ab._3 == 1 && ab._4 == 2 && ab._5 == 2)
+    assert(math.abs(ab._6 - 1.0 / 3.0) < 1e-12) // jaccard over bounded degs
+    assert(math.abs(ab._9 - 1.0 / 2.0) < 1e-12) // asym cosine: 1/sqrt(4)
+    // identity check on every pair: jaccard == inter/(size_a+size_b-inter)
+    sims.values.foreach { s =>
+      assert(math.abs(s._6 - s._3.toDouble / (s._4 + s._5 - s._3)) < 1e-12)
+    }
+  }
+
   test("itemcf recommend scores unseen items only") {
     val sims = ItemCF.pairSimilarities(inter, minIntersection = 1)
     val recs = ItemCF.recommend(inter, sims, "jaccard", k = 3)

