@@ -31,6 +31,27 @@ object Factorize {
       m.itemFactors.toDF("id", "features"))
   }
 
+  /** Non-negative matrix factorization — the toolkit's nmf.cpp (Lee-Seung
+    * multiplicative updates) re-expressed as ALS with non-negativity-
+    * constrained least squares (`setNonnegative`): same model class
+    * (R ≈ U·Vᵀ, U,V ≥ 0), the solver Spark ships for it. Documented
+    * algorithmic deviation: NNLS-per-block instead of multiplicative
+    * updates — both converge to a local minimum of the same objective.
+    */
+  def nmf(ratings: DataFrame, rank: Int = 8, iters: Int = 10,
+      regParam: Double = 0.05, seed: Long = 42L): Model = {
+    val m = new ALS()
+      .setRank(rank).setMaxIter(iters).setRegParam(regParam).setSeed(seed)
+      .setNonnegative(true)
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .fit(ratings.select(
+        col("user").cast("int").as("user"),
+        col("item").cast("int").as("item"),
+        col("rating").cast("float").as("rating")))
+    Model(m.userFactors.toDF("id", "features"),
+      m.itemFactors.toDF("id", "features"))
+  }
+
   /** Predicted rating for every (user, item) in `pairs` via factor dot
     * product — a join + codegen'd aggregate, no UDF.
     */

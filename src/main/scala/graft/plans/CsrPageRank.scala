@@ -12,11 +12,13 @@ import org.apache.spark.storage.StorageLevel
   * per-src edge counts + dst arrays, src-sorted within a shard).
   *
   * PRODUCTION NOTE: the declarative [[graft.algos.PageRank]] DataFrame path
-  * is the production plan — Tungsten's unsafe-row shuffle beats this RDD
-  * path's tuple serialization even with Kryo registered
-  * ([[GraftKryoRegistrator]]; BENCH.md has the measurements). This class is
-  * kept as the mapPartitions/local-combining showcase (custom-operator
-  * ladder case (d)) and as the equality-tested second implementation.
+  * is the production plan — measured ~4× faster at 22 M edges even with
+  * Kryo registered ([[GraftKryoRegistrator]]; BENCH.md "CSR vs DataFrame").
+  * The deficit is structural, not just serialization: this path pays a
+  * boxed per-superstep leftOuterJoin and a per-partition LongMap rebuild
+  * that Tungsten's unsafe-row shuffle + codegen'd SMJ never pay. Kept as
+  * the mapPartitions/local-combining showcase (custom-operator ladder case
+  * (d)) and as the equality-tested second implementation.
   *
   * Execution model per superstep (Pregel-lite):
   *  1. ranks RDD and CSR blocks share one HashPartitioner on the source id →

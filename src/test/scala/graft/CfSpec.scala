@@ -68,6 +68,27 @@ class CfSpec extends AnyFunSuite {
     assert(u4.map(_._2).toSeq == Seq("B", "C"))
   }
 
+  test("NMF factors are non-negative and fit a planted non-negative matrix") {
+    val r = new scala.util.Random(11)
+    val uf = Array.fill(25, 2)(r.nextDouble())
+    val itf = Array.fill(15, 2)(r.nextDouble())
+    val ratings = (for {
+      u <- 0 until 25; i <- 0 until 15
+    } yield (u, i, (uf(u)(0) * itf(i)(0) + uf(u)(1) * itf(i)(1)).toFloat))
+      .toDF("user", "item", "rating")
+    val m = graft.cf.Factorize.nmf(ratings, rank = 2, iters = 15)
+    // constraint: every factor component >= 0
+    val negU = m.userFactors.select(explode(col("features")).as("f"))
+      .filter(col("f") < 0f).count()
+    val negI = m.itemFactors.select(explode(col("features")).as("f"))
+      .filter(col("f") < 0f).count()
+    assert(negU == 0 && negI == 0, "NMF produced negative factor components")
+    // fit: training RMSE small on the exactly-rank-2 non-negative matrix
+    // (NNLS converges slower than unconstrained ALS; ratings are O(1))
+    val err = graft.cf.Factorize.rmse(m, ratings)
+    assert(err < 0.1, s"NMF RMSE too high: $err")
+  }
+
   test("ALS factorization recovers a planted low-rank rating matrix") {
     // planted rank-2 factors, deterministic
     val r = new scala.util.Random(7)
