@@ -236,6 +236,11 @@ object SparkEntry {
     "embedding_neardup" -> ((s, dir) =>
       Similarity.nearDupPairs(Tables(s, dir, "embeddings"), threshold = 0.4,
         bits = 6).orderBy(col("vec_a"), col("vec_b"))),
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "ann_lsh_recall" -> ((s, dir) => {
       // recall@5 of the LSH path against the exact brute-force top-5, per
       // query (VERDICT r2 item 6: makes the approximate path's quality claim
@@ -819,6 +824,58 @@ object SparkEntry {
         |  FROM cand cd
         |  JOIN n a ON a.vec_id = cd.vec_id
         |  JOIN n b ON b.vec_id = cd.query_id),
+        |r AS (
+        |  SELECT query_id, vec_id, cos,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |                       ORDER BY cos DESC, vec_id) AS rank
+        |  FROM sims)
+        |SELECT query_id, vec_id,
+        |  CAST(FLOOR(cos * 1e6 + 0.5) AS BIGINT) AS cos_q6,
+        |  CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf_topk" ->
+      // IVF-flat re-derived: sampled coarse cells, L2 cell assignment
+      // (argmin via (d2, cent_id) ordering), nprobe=3 probe, exact rerank
+      """WITH c AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |n AS MATERIALIZED (
+        |  SELECT vec_id, v,
+        |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nn
+        |  FROM c),
+        |cents AS MATERIALIZED (
+        |  SELECT vec_id AS cent_id, v AS w,
+        |         list_sum(list_transform(v, x -> x * x)) AS wn2
+        |  FROM c WHERE vec_id % 50 = 0),
+        |assign AS MATERIALIZED (
+        |  SELECT vec_id, cent_id AS cell FROM (
+        |    SELECT n.vec_id, ct.cent_id,
+        |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+        |        ct.wn2 - 2.0 * list_sum(list_transform(range(1, 65),
+        |          i -> n.v[i] * ct.w[i])), ct.cent_id) AS rn
+        |    FROM n, cents ct)
+        |  WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, v AS qv, nn AS qn FROM n
+        |      WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT query_id, cent_id AS cell FROM (
+        |    SELECT q.query_id, ct.cent_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+        |        ct.wn2 - 2.0 * list_sum(list_transform(range(1, 65),
+        |          i -> q.qv[i] * ct.w[i])), ct.cent_id) AS rn
+        |    FROM q, cents ct)
+        |  WHERE rn <= 3),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id
+        |  FROM probes p JOIN assign a ON a.cell = p.cell
+        |  WHERE a.vec_id <> p.query_id),
+        |sims AS (
+        |  SELECT cd.query_id, cd.vec_id,
+        |    list_sum(list_transform(range(1, 65), i -> a.v[i] * b.qv[i]))
+        |      / (a.nn * b.qn) AS cos
+        |  FROM cand cd
+        |  JOIN n a ON a.vec_id = cd.vec_id
+        |  JOIN q b ON b.query_id = cd.query_id),
         |r AS (
         |  SELECT query_id, vec_id, cos,
         |    ROW_NUMBER() OVER (PARTITION BY query_id

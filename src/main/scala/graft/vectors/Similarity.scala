@@ -100,6 +100,59 @@ object Similarity {
         floor(col("cos") * 1e6 + 0.5).cast("long").as("cos_q6"), col("rank"))
   }
 
+  /** IVF-flat approximate top-k — the inverted-file scale path: coarse
+    * cells are a deterministic corpus sample (every `centEvery`-th vec_id,
+    * playing the role of trained coarse centroids — k-means training would
+    * not be cross-engine reproducible, and for top-k probing only cell
+    * GEOMETRY matters, not centroid optimality); every vector is assigned
+    * to its nearest cell by L2, a query probes the `nprobe` nearest cells
+    * and exactly reranks only their members.
+    *
+    * Scale shape: the centroid table is a FIXED-size broadcast (cell count
+    * does not grow with N in a real deployment), so assignment is one
+    * broadcast-join + map-side-combinable `min_by` per vector — O(N·C) work,
+    * zero N×C shuffle rows; per-query probe cost is O(C + N·nprobe/C)
+    * instead of O(N).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      centEvery: Int = 50, nprobe: Int = 3): DataFrame = {
+    val c = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("cv"))
+      .withColumn("cn", l2norm(col("cv")))
+    val cents = corpus.filter(col("vec_id") % centEvery === 0)
+      .select(col("vec_id").as("cent_id"),
+        col("embedding").cast("array<double>").as("w"))
+      .withColumn("wn2",
+        aggregate(col("w"), lit(0.0), (acc, v) => acc + v * v))
+    // argmin_cell ||v − w||² = argmin_cell (||w||² − 2·v·w); ties (exact
+    // duplicate centroids) break toward the smaller cent_id, mirroring the
+    // oracle's ORDER BY (d2, cent_id)
+    def d2(vec: Column): Column = col("wn2") - lit(2.0) * dot(vec, col("w"))
+    val assign = c.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cent_id"), d2(col("cv")).as("d2"))
+      .groupBy("vec_id")
+      .agg(min_by(col("cent_id"), struct(col("d2"), col("cent_id")))
+        .as("cell"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+    val wp = Window.partitionBy("query_id").orderBy(col("d2"), col("cent_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cent_id"), d2(col("qv")).as("d2"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cent_id").as("cell"))
+    val cand = probes.join(assign, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select("query_id", "vec_id")
+    val rer = cand.join(c, "vec_id").join(q, "query_id")
+      .withColumn("cos", dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    rer.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"),
+        floor(col("cos") * 1e6 + 0.5).cast("long").as("cos_q6"), col("rank"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, found via shared
     * SRP bucket (+ Hamming-1) then exact verification. (vec_a < vec_b.)
     */

@@ -37,6 +37,32 @@ class VectorSpec extends AnyFunSuite {
     assert(got == localTopK(5))
   }
 
+  test("IVF top-k: probed-cell invariant, determinism, planted-dup recall") {
+    // structural invariant: every returned neighbor lives in one of its
+    // query's probed cells (the IVF contract), and results are deterministic
+    val got = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+      centEvery = 7, nprobe = 2)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect()
+    val again = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+      centEvery = 7, nprobe = 2)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect()
+    assert(got.toSet == again.toSet && got.nonEmpty)
+    // a near-identical planted duplicate shares its original's cell (L2
+    // assignment of a 1.001-scaled copy) and must surface as top-1 —
+    // nprobe>=1 always includes the query's own nearest cell
+    val planted = emb.filter(col("vec_id") < 10).select(
+      (col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    val corpus2 = emb.select("vec_id", "embedding").unionByName(planted)
+    val withDup = Similarity.ivfTopK(corpus2,
+      emb.filter(col("vec_id") < 10), k = 1, centEvery = 7, nprobe = 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    (0L until 10L).foreach { q =>
+      assert(withDup(q) == q + 1000000L,
+        s"query $q: planted duplicate not found (got ${withDup.get(q)})")
+    }
+  }
+
   test("LSH top-k: perfect recall on strong neighbors, partial on weak") {
     // strong-similarity regime (what LSH is for): plant a cos≈0.999
     // neighbor for each query; its top-1 must be found via the buckets
