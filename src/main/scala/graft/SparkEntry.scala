@@ -312,6 +312,36 @@ object SparkEntry {
         .orderBy(col("graph_id"))
     }),
 
+    "frap_monitor_scale" -> ((s, _) => {
+      // the 100 TB monitoring path: learn the profile driver-side (small,
+      // reference semantics), then classify EVERY corpus graph with the
+      // fully-distributed radius test (klCross — no count-array collects).
+      // Planted expectation: all normals inside some radius, bad-000 outside.
+      import org.apache.spark.sql.functions.{col => c}
+      val edges = Fixtures.persist(s, "prov_corpus_12",
+        graft.frap.ProvGen.corpus(s, nNormal = 11, nAbnormal = 1))
+      val learn = (0 until 10).map(i => f"normal-$i%03d")
+      val counts = graft.frap.WLRelabel.kernelCounts(
+        graft.frap.WLRelabel.run(edges, 4)).cache()
+      val dict = graft.frap.Kernels.dictionary(
+        counts.filter(c("graph_id").isInCollection(learn))).cache()
+      val dsize = dict.count().toInt
+      val arr = graft.frap.Kernels.countArrays(counts, dict, dsize).collect()
+        .map(r => r.getString(0) -> r.getSeq[Int](1).toArray).toMap
+      val profile = graft.frap.Frap.learnProfile(learn.map(arr(_)).toVector)
+      val inDict = counts.join(dict.select("label"), "label")
+      // verdicts are only known by construction for the HELD-OUT pair (learn
+      // members can legitimately sit outside the kept radii: minFrac drops
+      // minority clusters, reference semantics) — same gate design as
+      // frap_detect, but through the distributed klCross radius test
+      graft.frap.FrapPipeline
+        .monitorAtScale(s,
+          inDict.filter(c("graph_id").isin("normal-010", "bad-000")),
+          profile, dict, dsize)
+        .select(c("graph_id"), c("within_radius"))
+        .orderBy("graph_id")
+    }),
+
     // ---- multimodal plumbing (synthetic binary media, persisted so the
     // oracle can recompute the features from the same raw bytes) ------------
     "multimodal_features" -> ((s, dir) => {
@@ -498,6 +528,17 @@ object SparkEntry {
          |SELECT graph_id,
          |       (n_connect = 0) AS within_radius,
          |       (n_connect > 0) AS abnormal
+         |FROM planted ORDER BY graph_id""".stripMargin,
+    "frap_monitor_scale" ->
+      // planted expectation for the held-out pair: inside the learned
+      // radius iff no socket-connect edges (edge_type=3)
+      s"""WITH corpus AS (SELECT * FROM ${Fixtures.sqlOf("prov_corpus_12")}),
+         |planted AS (
+         |  SELECT graph_id,
+         |         SUM(CASE WHEN edge_type = 3 THEN 1 ELSE 0 END) AS n_connect
+         |  FROM corpus WHERE graph_id IN ('normal-010', 'bad-000')
+         |  GROUP BY 1)
+         |SELECT graph_id, (n_connect = 0) AS within_radius
          |FROM planted ORDER BY graph_id""".stripMargin,
     "random_walks" -> graft.algos.RandomWalks.oracleSql(E,
       nSources = 50, walksPerSource = 10, steps = 4),

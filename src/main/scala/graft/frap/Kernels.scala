@@ -171,8 +171,23 @@ object Kernels {
     *   frozen dictionary
     * @param dictSize D, the dictionary width
     */
-  def klMatrix(kernelCounts: DataFrame, dictSize: Int): DataFrame = {
-    val base = kernelCounts.groupBy("graph_id").agg(
+  def klMatrix(kernelCounts: DataFrame, dictSize: Int): DataFrame =
+    klPairs(kernelCounts, kernelCounts, dictSize, upperOnly = true)
+
+  /** Distributed symmetric-KL distances between every graph of `aCounts`
+    * and every graph of `bCounts` (same sparse (graph_id, label, cnt) shape
+    * and back-off semantics as [[klMatrix]]) — the monitoring-at-scale
+    * primitive: distances from N monitored graphs to C profile centroids
+    * without collecting any count arrays. Output (ga, gb, dist) with ga
+    * from `aCounts`, gb from `bCounts`.
+    */
+  def klCross(aCounts: DataFrame, bCounts: DataFrame,
+      dictSize: Int): DataFrame =
+    klPairs(aCounts, bCounts, dictSize, upperOnly = false)
+
+  private def klStatsAndP(counts: DataFrame, dictSize: Int)
+      : (DataFrame, DataFrame) = {
+    val base = counts.groupBy("graph_id").agg(
       sum("cnt").as("tot"), count(lit(1)).as("nnz"), min("cnt").as("minc"))
     val consts = base.select(col("graph_id"), col("nnz"),
       (col("minc").cast("double") / col("tot") / 2.0 / col("nnz")).as("delta"),
@@ -180,21 +195,30 @@ object Kernels {
         .otherwise(col("minc").cast("double") / col("tot") / 2.0
           / (lit(dictSize) - col("nnz"))).as("beta"),
       col("tot"))
-    val withP = kernelCounts.join(consts, "graph_id")
+    val withP = counts.join(consts, "graph_id")
       .select(col("graph_id"), col("label"),
         (col("cnt").cast("double") / col("tot") - col("delta")).as("p"))
     val sums = withP.groupBy("graph_id").agg(
       sum(col("p")).as("s1"),
       sum(log(col("p"))).as("s2"),
       sum(col("p") * log(col("p"))).as("s3"))
-    val stats = consts.join(sums, "graph_id")
-      .select("graph_id", "nnz", "beta", "s1", "s2", "s3")
+    (consts.join(sums, "graph_id")
+      .select("graph_id", "nnz", "beta", "s1", "s2", "s3"), withP)
+  }
 
-    val l = withP.select(col("graph_id").as("ga"), col("label"),
+  private def klPairs(aCounts: DataFrame, bCounts: DataFrame, dictSize: Int,
+      upperOnly: Boolean): DataFrame = {
+    val (aStats, aP) = klStatsAndP(aCounts, dictSize)
+    val (bStats, bP) =
+      if (aCounts eq bCounts) (aStats, aP) else klStatsAndP(bCounts, dictSize)
+    val pairCond =
+      if (upperOnly) col("ga") < col("gb") else lit(true)
+
+    val l = aP.select(col("graph_id").as("ga"), col("label"),
       col("p").as("pa"))
-    val r = withP.select(col("graph_id").as("gb"), col("label"),
+    val r = bP.select(col("graph_id").as("gb"), col("label"),
       col("p").as("pb"))
-    val dots = l.join(r, "label").filter(col("ga") < col("gb"))
+    val dots = l.join(r, "label").filter(pairCond)
       .groupBy("ga", "gb").agg(
         sum((col("pa") - col("pb")) * (log(col("pa")) - log(col("pb"))))
           .as("common"),
@@ -204,14 +228,14 @@ object Kernels {
         sum(col("pb") * log(col("pb"))).as("c3b"),
         count(lit(1)).as("ccnt"))
 
-    val sa = stats.select(col("graph_id").as("ga"), col("nnz").as("nnza"),
+    val sa = aStats.select(col("graph_id").as("ga"), col("nnz").as("nnza"),
       col("beta").as("ba"), col("s1").as("s1a"), col("s2").as("s2a"),
       col("s3").as("s3a"))
-    val sb = stats.select(col("graph_id").as("gb"), col("nnz").as("nnzb"),
+    val sb = bStats.select(col("graph_id").as("gb"), col("nnz").as("nnzb"),
       col("beta").as("bb"), col("s1").as("s1b"), col("s2").as("s2b"),
       col("s3").as("s3b"))
     val z = lit(0.0)
-    sa.crossJoin(sb).filter(col("ga") < col("gb"))
+    sa.crossJoin(sb).filter(pairCond)
       .join(dots, Seq("ga", "gb"), "left")
       .select(col("ga"), col("gb"), (
         coalesce(col("common"), z) +

@@ -133,6 +133,31 @@ class FrapSpec extends AnyFunSuite {
     assert(!got.head._3.isNaN && !got.head._3.isInfinite)
   }
 
+  test("monitorAtScale radius test matches the driver detection fast path") {
+    val edges = ProvGen.corpus(spark, nNormal = 11, nAbnormal = 1)
+    val learn = (0 until 10).map(i => f"normal-$i%03d")
+    val monitor = Seq("normal-010", "bad-000")
+    val counts = WLRelabel.kernelCounts(WLRelabel.run(edges, 3)).cache()
+    val dict = Kernels.dictionary(
+      counts.filter(col("graph_id").isInCollection(learn))).cache()
+    val dsize = dict.count().toInt
+    val arr = Kernels.countArrays(counts, dict, dsize).collect()
+      .map(r => r.getString(0) -> r.getSeq[Int](1).toArray).toMap
+    val profile = Frap.learnProfile(learn.map(arr(_)).toVector)
+    val inDict = counts.join(dict.select("label"), "label")
+    val got = FrapPipeline.monitorAtScale(spark,
+      inDict.filter(col("graph_id").isInCollection(monitor)),
+      profile, dict, dsize)
+      .as[(String, Boolean, Double)].collect().map(r => r._1 -> r).toMap
+    monitor.foreach { g =>
+      val det = Frap.detect(profile, arr(g))
+      assert(got(g)._2 == det.withinRadius, s"$g within_radius mismatch")
+      val want = det.distances.min
+      assert(math.abs(got(g)._3 - want) < 1e-9 * math.max(1.0, math.abs(want)),
+        s"$g min distance: got ${got(g)._3}, want $want")
+    }
+  }
+
   test("LDA topics on a planted two-topic corpus are deterministic") {
     import graft.cf.Topics
     // two word families: docs 0..9 use words 0..4, docs 10..19 words 5..9
