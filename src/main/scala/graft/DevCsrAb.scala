@@ -35,25 +35,29 @@ object DevCsrAb {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    // interleave the two paths to expose both to the same ambient noise
+    // interleave the two paths to expose both to the same ambient noise;
+    // BOTH sides report the MEDIAN of steady-state supersteps with the same
+    // warmup count dropped, and the CSR side's one-time buildBlocks cost is
+    // excluded the same way the DF side's static share-table build is (it
+    // happens inside run() before the timed loop's per-step clocks start)
+    def median(xs: Seq[Double]): Double = { val s = xs.sorted; s(s.size / 2) }
     for (rep <- 1 to 2) {
       val store = new graft.engine.LocalStore
       val dfSec = timeIt {
         graft.algos.PageRank.run(spark, edges, tol = -1.0,
           maxIters = steps + warmup, store = store)
       }
-      val dfSteady = store.metrics.drop(warmup).map(_.wallSec).sorted
-      val dfMed = dfSteady(dfSteady.size / 2)
+      val dfMed = median(store.metrics.drop(warmup).map(_.wallSec))
+      var csrRes: graft.plans.CsrPageRank.Result = null
       val csrSec = timeIt {
-        graft.plans.CsrPageRank.run(spark, edges, tol = -1.0,
+        csrRes = graft.plans.CsrPageRank.run(spark, edges, tol = -1.0,
           maxIters = steps + warmup)
       }
-      // CSR path has no per-step store; report whole-run per-step average
-      // over the same step count (warmup subtracted proportionally)
+      val csrMed = median(csrRes.stepSecs.drop(warmup))
       println(f"[csr-ab] rep=$rep edges=$n df_total=$dfSec%.1f " +
         f"df_median_step=$dfMed%.2f df_eps=${n / dfMed}%.0f " +
-        f"csr_total=$csrSec%.1f csr_avg_step=${csrSec / (steps + warmup)}%.2f " +
-        f"csr_eps=${n / (csrSec / (steps + warmup))}%.0f")
+        f"csr_total=$csrSec%.1f csr_median_step=$csrMed%.2f " +
+        f"csr_eps=${n / csrMed}%.0f")
     }
     spark.stop()
   }

@@ -266,10 +266,14 @@ object SparkEntry {
       // ~18% of corpus probed (12 tables × N/2^6) the measured recall@5 is
       // ~36-38%, i.e. ~2× the probed fraction; structured real corpora do
       // far better. The floor asserts the 2×-over-random behavior holds.
-      val mean = recall.agg(avg("recall_pct")).head().getDouble(0)
+      val rows = recall.collect() // tiny (one row per query)
+      recall.unpersist(false)
+      val mean = rows.map(_.getLong(1)).sum.toDouble / rows.length
       require(mean >= 25.0,
         f"LSH recall@5 degraded: mean $mean%.1f%% < 25%% floor")
-      recall
+      import s.implicits._
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .toDF("query_id", "recall_pct")
     }),
 
     // ---- events: windowed aggregation (batch + streaming parity) -----------
@@ -329,17 +333,21 @@ object SparkEntry {
       val arr = graft.frap.Kernels.countArrays(counts, dict, dsize).collect()
         .map(r => r.getString(0) -> r.getSeq[Int](1).toArray).toMap
       val profile = graft.frap.Frap.learnProfile(learn.map(arr(_)).toVector)
-      val inDict = counts.join(dict.select("label"), "label")
       // verdicts are only known by construction for the HELD-OUT pair (learn
       // members can legitimately sit outside the kept radii: minFrac drops
       // minority clusters, reference semantics) — same gate design as
       // frap_detect, but through the distributed klCross radius test
-      graft.frap.FrapPipeline
+      val out = graft.frap.FrapPipeline
         .monitorAtScale(s,
-          inDict.filter(c("graph_id").isin("normal-010", "bad-000")),
+          counts.filter(c("graph_id").isin("normal-010", "bad-000")),
           profile, dict, dsize)
         .select(c("graph_id"), c("within_radius"))
         .orderBy("graph_id")
+        .collect() // tiny; lets the caches below be released eagerly
+      counts.unpersist(false); dict.unpersist(false)
+      import s.implicits._
+      out.map(r => (r.getString(0), r.getBoolean(1))).toSeq
+        .toDF("graph_id", "within_radius")
     }),
 
     // ---- multimodal plumbing (synthetic binary media, persisted so the

@@ -26,10 +26,13 @@ import graft.core.LinkGraph
   */
 object KCores {
 
-  /** Per-round changed-vertex counts of the most recent [[coreness]] run —
-    * diagnostic evidence that the frontier collapses (VERDICT r2 item 9).
+  /** Per-round changed-vertex counts of this THREAD's most recent
+    * [[coreness]] run — diagnostic evidence that the frontier collapses
+    * (VERDICT r2 item 9). Thread-local: concurrent runs (parallel test
+    * suites sharing the JVM) must not read each other's diagnostics.
     */
-  @volatile private[graft] var lastRoundChanged: List[Long] = Nil
+  private[graft] val lastRoundChanged: ThreadLocal[List[Long]] =
+    ThreadLocal.withInitial(() => Nil)
 
   /** (id, coreness) for every vertex WITH DEGREE >= 1 of the undirected
     * graph (state is seeded from edge endpoints; isolated vertices — which
@@ -49,8 +52,16 @@ object KCores {
     val und = LinkGraph.undirected(edges.select("src", "dst", "weight"))
       .select("src", "dst").distinct()
       .repartition(parts, col("src"))
+      .sortWithinPartitions("src")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    und.count()
+    // second static view partitioned by dst for the changed-neighbor probe
+    // (SCC's eSrc/eDst pattern): without it the per-round touched semi-join
+    // re-exchanges all E rows on dst even when the frontier is tiny
+    val undDst = und
+      .repartition(parts, col("dst"))
+      .sortWithinPartitions("dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    und.count(); undDst.count()
 
     var state = und.groupBy(col("src").as("id"))
       .agg(count(lit(1)).as("core")) // core_0 = degree
@@ -61,7 +72,7 @@ object KCores {
     val rounds = List.newBuilder[Long]
     while (changed > 0 && iter < maxIters) {
       // recompute h only where it can move: vertices with a changed neighbor
-      val touched = und
+      val touched = undDst
         .join(changedSet.select(col("id").as("dst")), Seq("dst"), "left_semi")
         .select(col("src")).distinct()
       val activeEdges = und.join(touched, Seq("src"), "left_semi")
@@ -87,8 +98,8 @@ object KCores {
       state = next.select("id", "core")
       iter += 1
     }
-    lastRoundChanged = rounds.result()
-    und.unpersist(false)
+    lastRoundChanged.set(rounds.result())
+    und.unpersist(false); undDst.unpersist(false)
     state.select(col("id"), col("core").as("coreness"))
   }
 

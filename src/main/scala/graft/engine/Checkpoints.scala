@@ -81,7 +81,12 @@ final class DurableStore(spark: SparkSession, dir: String,
     fmt.read(spark, stateTable(iter))
   }
 
-  /** Per-partition bytes of superstep `iter`'s parquet files. */
+  /** Per-partition bytes of superstep `iter`'s parquet files. Knowingly
+    * parquet-layout-specific (part- files at the table location): a
+    * best-effort local diagnostic, not part of the TableFormat contract —
+    * a catalog-format deployment reports sizes from the format's own
+    * metadata tables instead and this returns Nil harmlessly.
+    */
   def partitionMetrics(iter: Int): Seq[PartitionMetric] = {
     val out = stateDir(iter)
     if (!Files.isDirectory(out)) return Nil
@@ -106,8 +111,10 @@ final class DurableStore(spark: SparkSession, dir: String,
       .flatMap { line =>
         """"iter":(\d+)""".r.findFirstMatchIn(line).map(_.group(1).toInt)
       }
+    // completeness is the format's call (parquet: _SUCCESS; catalog
+    // formats: their transaction log) — no parquet layout knowledge here
     iters.sorted.reverse
-      .find(i => Files.exists(stateDir(i).resolve("_SUCCESS")))
+      .find(i => fmt.exists(stateTable(i)))
       .map(i => (i, fmt.read(spark, stateTable(i))))
   }
 }

@@ -27,6 +27,13 @@ trait TableFormat {
 
   def read(spark: SparkSession, table: String): DataFrame
 
+  /** True iff `table` exists AND its last write committed completely — a
+    * half-written table (writer killed mid-flight) must read as absent, or
+    * [[createIfAbsent]] would latch onto truncated data forever (and a
+    * bytes-level oracle reading the same files could never catch it).
+    * Catalog formats get this from their transaction log; parquet uses the
+    * `_SUCCESS` marker.
+    */
   def exists(table: String): Boolean
 
   /** Physical location of `table` for path-based consumers (the DuckDB
@@ -49,10 +56,15 @@ final class ParquetFormat(val root: String) extends TableFormat {
 
   override def createIfAbsent(df: => DataFrame, table: String): Unit = {
     if (exists(table)) return
+    val target = new java.io.File(location(table))
+    // a directory without _SUCCESS is a corpse from a killed writer: clear
+    // it so the rename below can land (exists() already returned false)
+    if (target.isDirectory)
+      org.apache.commons.io.FileUtils.deleteDirectory(target)
     val tmp = new java.io.File(
       s"$root/.tmp-${table.replace('/', '_')}-${ProcessHandle.current().pid()}")
     df.write.mode("overwrite").parquet(tmp.getAbsolutePath)
-    if (!tmp.renameTo(new java.io.File(location(table)))) {
+    if (!tmp.renameTo(target)) {
       // lost the race to a concurrent JVM: keep the winner's bytes
       org.apache.commons.io.FileUtils.deleteDirectory(tmp)
     }
@@ -62,5 +74,5 @@ final class ParquetFormat(val root: String) extends TableFormat {
     spark.read.parquet(location(table))
 
   override def exists(table: String): Boolean =
-    new java.io.File(location(table)).isDirectory
+    new java.io.File(location(table), "_SUCCESS").isFile
 }

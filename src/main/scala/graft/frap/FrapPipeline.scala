@@ -50,15 +50,22 @@ object FrapPipeline {
     * collect is now only needed for the rare recluster branch on flagged
     * graphs, which normal-dominated production traffic keeps tiny).
     *
-    * Returns (graph_id, within_radius, min_distance).
+    * Returns (graph_id, within_radius, min_distance) for EVERY graph present
+    * in `monitorCounts` — including a graph whose labels are ALL outside the
+    * frozen dictionary (the maximally novel behavior): it gets
+    * within_radius = false with a null min_distance rather than silently
+    * vanishing from the result (the frozen-map restriction would otherwise
+    * drop its every row before the distance join).
     *
-    * @param monitorCounts sparse (graph_id, label, cnt) already restricted
-    *   to the frozen dictionary's labels
+    * @param monitorCounts sparse (graph_id, label, cnt); labels NOT yet
+    *   restricted to the dictionary (the restriction happens here)
     * @param dict frozen dictionary (label, label_idx)
     */
   def monitorAtScale(spark: SparkSession, monitorCounts: DataFrame,
       profile: Frap.Profile, dict: DataFrame, dictSize: Int): DataFrame = {
     import spark.implicits._
+    val allIds = monitorCounts.select("graph_id").distinct()
+    val inDict = monitorCounts.join(dict.select("label"), "label")
     val centRows = profile.centroids.zipWithIndex.flatMap { case (arr, ci) =>
       arr.zipWithIndex.collect {
         case (c, li) if c != 0 => (f"cent-$ci%03d", li.toLong, c.toLong)
@@ -76,13 +83,17 @@ object FrapPipeline {
     // radius test therefore carries a relative epsilon: real detection
     // margins (BENCH: abnormal min-distance ≈ 3.5 vs normal 0) dwarf it.
     val eps = lit(1e-9) * (lit(1.0) + col("radius"))
-    Kernels.klCross(monitorCounts, cents, dictSize)
+    val verdicts = Kernels.klCross(inDict, cents, dictSize)
       .join(radii, "gb")
       .groupBy(col("ga").as("graph_id"))
       .agg(
         max(when(col("dist") <= col("radius") + eps, 1).otherwise(0)).as("w"),
         min(greatest(col("dist"), lit(0.0))).as("min_distance"))
       .select(col("graph_id"), (col("w") === 1).as("within_radius"),
+        col("min_distance"))
+    allIds.join(verdicts, Seq("graph_id"), "left")
+      .select(col("graph_id"),
+        coalesce(col("within_radius"), lit(false)).as("within_radius"),
         col("min_distance"))
   }
 
@@ -103,7 +114,15 @@ object FrapPipeline {
       inDict.filter(col("graph_id").isInCollection(learnIds)), dictSize)
       .collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
-    def d(a: String, b: String) = if (a < b) dm((a, b)) else dm((b, a))
+    // quantized to 1e-9 before clustering: distributed sums can vary in
+    // final ulps run-to-run (shuffle-fetch merge order), and kmeansPrior
+    // assigns/converges on EXACT float comparisons — the quantum restores
+    // the driver path's run-to-run reproducibility except in the
+    // measure-zero case of a distance within an ulp of a quantum boundary
+    def d(a: String, b: String) = {
+      val v = if (a < b) dm((a, b)) else dm((b, a))
+      math.rint(v * 1e9) / 1e9
+    }
     val n = learnIds.size
     val flat = (for {
       i <- 0 until n

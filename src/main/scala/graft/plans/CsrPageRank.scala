@@ -12,8 +12,9 @@ import org.apache.spark.storage.StorageLevel
   * per-src edge counts + dst arrays, src-sorted within a shard).
   *
   * PRODUCTION NOTE: the declarative [[graft.algos.PageRank]] DataFrame path
-  * is the production plan — measured ~4× faster at 22 M edges even with
-  * Kryo registered ([[GraftKryoRegistrator]]; BENCH.md "CSR vs DataFrame").
+  * is the production plan — measured ~2.8× faster at 22 M edges under a
+  * symmetric median-superstep protocol, even with Kryo registered
+  * ([[GraftKryoRegistrator]]; BENCH.md "CSR vs DataFrame").
   * The deficit is structural, not just serialization: this path pays a
   * boxed per-superstep leftOuterJoin and a per-partition LongMap rebuild
   * that Tungsten's unsafe-row shuffle + codegen'd SMJ never pay. Kept as
@@ -46,7 +47,8 @@ object CsrPageRank {
       shares: Array[Double])   // 1/outdeg(src), aligned with dsts
 
   final case class Result(ranks: RDD[(Long, Double)], supersteps: Int,
-      converged: Boolean, deltas: Seq[Double])
+      converged: Boolean, deltas: Seq[Double],
+      stepSecs: Seq[Double] = Nil) // wall seconds per superstep (A/B probes)
 
   /** Build hash-partitioned CSR blocks from an edge DataFrame. One block per
     * partition; sources sorted within the block (the shard layout).
@@ -114,9 +116,11 @@ object CsrPageRank {
     var persisted: RDD[_] = ranks // the currently-persisted state ancestor
 
     val deltas = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val stepSecs = scala.collection.mutable.ArrayBuffer.empty[Double]
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
+      val stepT0 = System.nanoTime()
       // 1+2: narrow per-partition CSR scan with local combining
       val contribs = blocks.zipPartitions(ranks, preservesPartitioning = false) {
         (bIt, rIt) =>
@@ -157,11 +161,12 @@ object CsrPageRank {
       persisted = stateNext
       ranks = stateNext.mapValues(_._1)
       deltas += delta
+      stepSecs += (System.nanoTime() - stepT0) / 1e9
       converged = delta <= tol
       iter += 1
     }
     blocks.unpersist(false); vertices.unpersist(false)
-    Result(ranks, iter, converged, deltas.toSeq)
+    Result(ranks, iter, converged, deltas.toSeq, stepSecs.toSeq)
   }
 
   /** DataFrame view of the final ranks: (id, rank). */

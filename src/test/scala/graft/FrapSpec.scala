@@ -144,9 +144,8 @@ class FrapSpec extends AnyFunSuite {
     val arr = Kernels.countArrays(counts, dict, dsize).collect()
       .map(r => r.getString(0) -> r.getSeq[Int](1).toArray).toMap
     val profile = Frap.learnProfile(learn.map(arr(_)).toVector)
-    val inDict = counts.join(dict.select("label"), "label")
     val got = FrapPipeline.monitorAtScale(spark,
-      inDict.filter(col("graph_id").isInCollection(monitor)),
+      counts.filter(col("graph_id").isInCollection(monitor)),
       profile, dict, dsize)
       .as[(String, Boolean, Double)].collect().map(r => r._1 -> r).toMap
     monitor.foreach { g =>
@@ -156,6 +155,18 @@ class FrapSpec extends AnyFunSuite {
       assert(math.abs(got(g)._3 - want) < 1e-9 * math.max(1.0, math.abs(want)),
         s"$g min distance: got ${got(g)._3}, want $want")
     }
+    // a graph whose labels are ALL outside the frozen dictionary must still
+    // get a verdict — flagged outside every radius, not silently dropped
+    val novel = Seq(("novel-000", "label-not-in-any-dictionary", 5L))
+      .toDF("graph_id", "label", "cnt")
+    val nv = FrapPipeline.monitorAtScale(spark,
+      counts.filter(col("graph_id").isInCollection(monitor))
+        .unionByName(novel), profile, dict, dsize)
+      .as[(String, Boolean, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(nv.contains("novel-000"), "all-novel graph vanished from verdicts")
+    assert(!nv("novel-000")._2, "all-novel graph must not be within radius")
+    assert(nv("novel-000")._3.isEmpty, "all-novel graph has no distance")
   }
 
   test("LDA topics on a planted two-topic corpus are deterministic") {

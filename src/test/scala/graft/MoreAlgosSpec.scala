@@ -49,7 +49,7 @@ class MoreAlgosSpec extends AnyFunSuite {
   test("k-core frontier collapses across rounds") {
     val got = KCores.coreness(spark, edgesDf)
     val nV = got.count()
-    val rounds = KCores.lastRoundChanged
+    val rounds = KCores.lastRoundChanged.get()
     assert(rounds.nonEmpty && rounds.last == 0L,
       s"fixpoint not reached: $rounds")
     // after the first h-pass the recompute frontier must be a strict
