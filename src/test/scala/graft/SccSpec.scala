@@ -114,6 +114,7 @@ class SccSpec extends AnyFunSuite {
         prev = records.get(); Thread.sleep(200); spins += 1
       }
       val r = records.get()
+      info(s"total shuffle-read records: $r (full re-emission would be ~42k+ messages alone)")
       assert(r < 25000L,
         s"forward phase shuffled $r records — frontier regressed to full re-emission?")
     } finally {
