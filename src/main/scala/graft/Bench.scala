@@ -123,6 +123,37 @@ object Bench {
     path
   }
 
+  /** 1-minute load average from /proc/loadavg — recorded before/after each
+    * scaling leg so cross-round per-query comparisons can see whether a leg
+    * ran in an idle window or a co-tenant slow phase (VERDICT r3 item 10)
+    * without prose disclaimers.
+    */
+  private def loadAvg(): Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
+  /** Current git HEAD hash, resolved from the repo files directly (no git
+    * subprocess): used to tag recorded probe files and detect staleness.
+    */
+  def gitHead(repo: String = "/root/repo"): Option[String] =
+    try {
+      val head = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(s"$repo/.git/HEAD")).trim
+      if (!head.startsWith("ref: ")) Some(head)
+      else {
+        val refName = head.drop(5)
+        val refPath = java.nio.file.Paths.get(s"$repo/.git/$refName")
+        if (java.nio.file.Files.exists(refPath))
+          Some(java.nio.file.Files.readString(refPath).trim)
+        else {
+          val packed = java.nio.file.Paths.get(s"$repo/.git/packed-refs")
+          scala.io.Source.fromFile(packed.toFile).getLines()
+            .find(_.endsWith(" " + refName)).map(_.split(" ")(0))
+        }
+      }
+    } catch { case _: Throwable => None }
+
   private def scalingLegSubprocess(cores: Int, edgesPath: String,
       supersteps: Int): (Long, Double, Seq[Double]) = {
     val java = s"${System.getProperty("java.home")}/bin/java"
@@ -257,6 +288,7 @@ object Bench {
     // same shuffle-partition count, fixed superstep budget — only the core
     // count varies (the sandbox stand-in for N vs 4N executors).
     var scalingJson = ""
+    var scalingCompact = "" // summary (no legs array) for the stdout line
     if (doScaling) {
       // N vs 4N cores, both legs as taskset-pinned JVMs, steady-state
       // superstep timing, best of `reps` interleaved repetitions per leg.
@@ -279,8 +311,11 @@ object Bench {
       try {
         val edgesPath = prepareScalingInput(nFiles)
         val legs = (1 to reps).flatMap(_ => Seq(lo, hi)).flatMap { c =>
-          try Some(c -> scalingLegSubprocess(c, edgesPath, ss))
-          catch {
+          val la0 = loadAvg()
+          try {
+            val r = scalingLegSubprocess(c, edgesPath, ss)
+            Some((c, r, la0, loadAvg()))
+          } catch {
             case e: Throwable =>
               System.err.println(s"[bench] scaling leg cores=$c failed: $e")
               None
@@ -291,9 +326,9 @@ object Bench {
         // degrade high-parallelism legs 2-3x for minutes at a time — a sum
         // over supersteps lets one such phase poison the leg)
         val losMed = legs.filter(_._1 == lo)
-          .map { case (_, (n, _, ps)) => (n, steadySec(ps)) }
+          .map { case (_, (n, _, ps), _, _) => (n, steadySec(ps)) }
         val hisMed = legs.filter(_._1 == hi)
-          .map { case (_, (n, _, ps)) => (n, steadySec(ps)) }
+          .map { case (_, (n, _, ps), _, _) => (n, steadySec(ps)) }
         if (losMed.nonEmpty && hisMed.nonEmpty) {
           val bestLo = losMed.minBy(_._2)
           val bestHi = hisMed.minBy(_._2)
@@ -301,8 +336,10 @@ object Bench {
           val epsLo = scaleEdges.toDouble / bestLo._2
           val epsHi = scaleEdges.toDouble / bestHi._2
           val eff = epsHi / ((hi.toDouble / lo) * epsLo)
-          val legsJson = legs.map { case (c, (_, sec, ps)) =>
-            s"""{"cores":$c,"sec":$sec,"median_superstep_sec":${steadySec(ps)}}"""
+          val legsJson = legs.map { case (c, (_, sec, ps), la0, la1) =>
+            s"""{"cores":$c,"sec":$sec,""" +
+              s""""median_superstep_sec":${steadySec(ps)},""" +
+              s""""loadavg_before":$la0,"loadavg_after":$la1}"""
           }.mkString("[", ",", "]")
           scalingJson =
             s""","scaling":{"input_files":$nFiles,"input_edges":$scaleEdges,""" +
@@ -312,6 +349,12 @@ object Bench {
               s""""low_edges_per_sec_per_superstep":$epsLo,""" +
               s""""high_edges_per_sec_per_superstep":$epsHi,""" +
               s""""legs":$legsJson,"efficiency":$eff}"""
+          scalingCompact =
+            s""","scaling":{"input_edges":$scaleEdges,""" +
+              s""""low_cores":$lo,"high_cores":$hi,""" +
+              s""""low_edges_per_sec_per_superstep":$epsLo,""" +
+              s""""high_edges_per_sec_per_superstep":$epsHi,""" +
+              s""""efficiency":$eff}"""
         }
       } catch {
         case e: Throwable =>
@@ -364,9 +407,19 @@ object Bench {
         val p = Seq("BENCH_LARGE.json", "/root/repo/BENCH_LARGE.json")
           .map(java.nio.file.Paths.get(_))
           .find(java.nio.file.Files.exists(_))
-        p.map(f =>
-          s""","scaling_large":${java.nio.file.Files.readString(f).trim}""")
-          .getOrElse("")
+        p.map { f =>
+          val rec = java.nio.file.Files.readString(f).trim
+          // staleness guard (ADVICE r3): the recorded probe carries the git
+          // commit it was measured at; if HEAD moved since, say so in the
+          // embedded record instead of silently replaying old numbers.
+          val recCommit = "\"git_commit\"\\s*:\\s*\"([0-9a-f]+)\"".r
+            .findFirstMatchIn(rec).map(_.group(1))
+          val stale = (recCommit, gitHead()) match {
+            case (Some(a), Some(b)) => a != b
+            case _ => true // unverifiable provenance counts as stale
+          }
+          s""","scaling_large":$rec,"scaling_large_stale":$stale"""
+        }.getOrElse("")
       } catch { case _: Throwable => "" }
 
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
@@ -375,9 +428,17 @@ object Bench {
       s""""pagerank":{"edges":$numEdges,"supersteps":${pr.supersteps},""" +
         s""""converged":${pr.converged},"sec":$prSec,""" +
         s""""edges_per_sec_per_superstep":$prEps}"""
+    // Full record (per-leg detail, triangle leg, recorded 176 M probe) goes
+    // to BENCH_LAST.json; stdout gets a COMPACT final line — round 1 and 3
+    // both lost machine-parseability when the big blocks overran the
+    // driver's stdout tail capture (VERDICT r3 item 2).
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir",$prJson$scalingJson$triScaleJson$largeJson}"""
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir",$prJson$scalingCompact,""" +
+        s""""detail":"BENCH_LAST.json"}"""
     // file copy first: survives any stdout mangling by the runner
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_LAST.json"), json + "\n")
@@ -386,7 +447,7 @@ object Bench {
     // the LAST stdout line, emitted after spark.stop() so no executor WARNs
     // interleave with it
     System.out.flush()
-    println(json)
+    println(compact)
     System.out.flush()
   }
 }

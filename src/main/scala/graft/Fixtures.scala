@@ -30,21 +30,66 @@ object Fixtures {
   /** Write `df` once under `name` and return the read-back frame, so the
     * Spark query and the DuckDB oracle consume identical input. The write is
     * atomic within the format's guarantees (temp dir + rename for parquet)
-    * so a concurrent JVM reading `name` never sees a half-written fixture;
-    * an already-complete fixture is reused as-is.
+    * so a concurrent JVM reading `name` never sees a half-written fixture.
     *
-    * Contract: content under a given `name` must be deterministic — when a
-    * generator changes, bump the name (the existing `prov_corpus_7` /
-    * `prov_corpus_12` / `media_200` convention), never reuse it.
+    * Reuse is gated on a *content fingerprint sidecar* (`<name>.fp`), not on
+    * naming convention alone (ADVICE r3): the generated frame's
+    * order-independent content hash is recomputed on first use per JVM and
+    * compared against the recorded one — a generator that drifted without a
+    * name bump mechanically invalidates the cached bytes instead of letting
+    * Spark and the DuckDB oracle self-consistently agree on stale data.
+    * (Generators are deterministic Spark jobs over tiny fixtures, so the
+    * re-hash costs one small job per fixture per JVM. Invalidation only
+    * fires after a code change — concurrent JVMs in steady state never see
+    * it — so the delete-and-regenerate path needs no cross-JVM lock beyond
+    * the format's createIfAbsent atomicity.)
     */
   def persist(spark: SparkSession, name: String, df: => DataFrame): DataFrame = {
     synchronized {
       if (!written.contains(name)) {
-        format.createIfAbsent(df.coalesce(4), name)
+        val d = df
+        val fp = contentFingerprint(d)
+        val side = new java.io.File(Dir, s"$name.fp")
+        val recorded =
+          if (side.isFile)
+            Some(java.nio.file.Files.readString(side.toPath).trim)
+          else None
+        if (format.exists(name) && !recorded.contains(fp)) {
+          org.apache.commons.io.FileUtils.deleteDirectory(
+            new java.io.File(format.location(name)))
+          side.delete()
+        }
+        format.createIfAbsent(d.coalesce(4), name)
+        if (!side.isFile) {
+          val tmp = java.nio.file.Files.createTempFile(
+            java.nio.file.Paths.get(Dir), s".$name", ".fp")
+          java.nio.file.Files.writeString(tmp, fp)
+          java.nio.file.Files.move(tmp, side.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
         written += name
       }
     }
     format.read(spark, name)
+  }
+
+  /** Order-independent content hash of a frame: commutative sum of per-row
+    * xxhash64 over the JSON-encoded row struct, plus row count and schema.
+    * Row/partition order does not affect it; any value, column, or type
+    * change does.
+    */
+  private def contentFingerprint(df: DataFrame): String = {
+    import org.apache.spark.sql.functions._
+    // decimal(38,0) accumulator: full-range 64-bit hashes overflow an ANSI
+    // long sum after a handful of rows
+    val r = df.select(
+      coalesce(sum(xxhash64(to_json(struct(df.columns.map(col): _*)))
+        .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("s"),
+      count(lit(1)).as("n")).head()
+    val schema = df.schema.map(f => s"${f.name}:${f.dataType.sql}")
+      .mkString(",")
+    s"v1:${r.getDecimal(0)}:${r.getLong(1)}:${schema.hashCode}"
   }
 
   /** DuckDB table expression for a persisted fixture. */

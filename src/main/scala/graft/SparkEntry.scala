@@ -123,7 +123,18 @@ object SparkEntry {
     "scc" -> ((s, _) => {
       // planted strongly-connected clusters + permuted intra-block DAG: the
       // expected labeling is arithmetic, the coloring algorithm needs real
-      // multi-round peeling (random-graph coverage stays in SccSpec/Tarjan)
+      // multi-round peeling (random-graph coverage stays in SccSpec/Tarjan).
+      // driverFinishBelow = 0: this gate row must exercise the DISTRIBUTED
+      // trim/color/confirm path, not the small-remainder Tarjan finish
+      val e = Fixtures.persist(s, "planted_scc",
+        graft.core.Planted.sccGraph(s))
+      graft.algos.SCC.run(s, e, maxRounds = 50, driverFinishBelow = 0L)
+        .orderBy(col("id"))
+    }),
+    "scc_hybrid" -> ((s, _) => {
+      // same planted fixture through the DEFAULT hybrid path (the fixture
+      // sits under the driver-finish threshold, so this row proves the
+      // collect-and-Tarjan finish produces the identical canonical labeling)
       val e = Fixtures.persist(s, "planted_scc",
         graft.core.Planted.sccGraph(s))
       graft.algos.SCC.run(s, e, maxRounds = 50).orderBy(col("id"))
@@ -186,6 +197,57 @@ object SparkEntry {
         .select(col("item"), col("other"),
           floor(col("sim") * 1e6 + 0.5).cast("long").as("sim_q6"), col("rank"))
         .orderBy(col("item"), col("rank"))
+    }),
+
+    // ---- spectral / factor / classification toolkit apps --------------------
+    "svd_topk" -> ((s, _) => {
+      // planted disjoint rank-1 blocks: every singular value is a per-block
+      // Frobenius norm the oracle recomputes as sqrt(SUM(value^2)) — the
+      // Lanczos run is verified against exact arithmetic
+      val m = Fixtures.persist(s, "planted_lowrank",
+        graft.core.Planted.lowRankMatrix(s))
+      graft.cf.Spectral.svdTopK(m, k = 5, nCols = 160)
+        .select(col("rank"),
+          floor(col("sigma") * 1e4 + 0.5).cast("long").as("sigma_q4"))
+        .orderBy("rank")
+    }),
+    "svdpp_blocks" -> ((s, _) => {
+      // planted non-additive block means [[4,2],[2,4]]: a bias-only fit
+      // flattens to 3 everywhere, so integer-rounded block means equal the
+      // plant only if the factor/implicit machinery actually learned the
+      // interaction (MlSpec asserts the tighter 0.35 margin)
+      val ratings = Fixtures.persist(s, "planted_ratings",
+        graft.core.Planted.blockRatings(s))
+      val model = graft.cf.SvdPlusPlus.train(ratings, rank = 2, iters = 40,
+        lr = 0.2, reg = 0.005)
+      graft.cf.SvdPlusPlus.predict(model, ratings.select("user", "item"),
+        ratings)
+        .select((col("user") / 20).cast("long").as("ug"),
+          (col("item") / 20).cast("long").as("ig"), col("pred"))
+        .groupBy("ug", "ig")
+        .agg(floor(avg("pred") + 0.5).cast("long").as("mean_pred"))
+        .orderBy("ug", "ig")
+    }),
+    "adpredictor" -> ((s, _) => {
+      // planted separable clicks: expected predict == y for every sample
+      // (class features dominate; noise features cancel by mirror symmetry)
+      val samples = Fixtures.persist(s, "planted_clicks",
+        graft.core.Planted.clickDesign(s)._1)
+      val edges = graft.core.Planted.clickDesign(s)._2
+      val model = graft.classify.AdPredictor.train(samples, edges, sweeps = 3)
+      samples.join(graft.classify.AdPredictor.predict(model, edges), "sample")
+        .select(col("sample"), col("y"), col("predict")).orderBy("sample")
+    }),
+    "coem" -> ((s, _) => {
+      // co-EM (text_analysis/coem.cpp) = seeded LP over the NP×context
+      // bipartite graph; planted two-topic blocks make every hard label
+      // arithmetic (block membership), incl. the weight-dominated bridge
+      import s.implicits._
+      val e = Fixtures.persist(s, "planted_coem",
+        graft.core.Planted.coemGraph(s))
+      graft.algos.GraphOps.seededLabelPropagation(s, e,
+        Seq((0L, 1L), (50L, 2L)).toDF("id", "label"), iters = 6)
+        .select(col("id"), col("label")).orderBy("id")
     }),
 
     // ---- PROV-JSON (CamFlow) ingest -----------------------------------------
@@ -435,7 +497,49 @@ object SparkEntry {
          |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e))
          |SELECT id, (id // 8) * 8 + ((id // 8) % 7) AS scc
          |FROM v ORDER BY id""".stripMargin,
+    "scc_hybrid" ->
+      s"""WITH e AS (SELECT * FROM ${Fixtures.sqlOf("planted_scc")}),
+         |v AS (SELECT DISTINCT id FROM (
+         |  SELECT src AS id FROM e UNION ALL SELECT dst FROM e))
+         |SELECT id, (id // 8) * 8 + ((id // 8) % 7) AS scc
+         |FROM v ORDER BY id""".stripMargin,
     "kcores" -> graft.algos.KCores.oracleSql(E),
+    "svd_topk" ->
+      // exact spectrum by construction: disjoint rank-1 blocks ⇒ σ_g is the
+      // per-block Frobenius norm (rows 50g..50g+49), computable in SQL
+      s"""WITH m AS (SELECT * FROM ${Fixtures.sqlOf("planted_lowrank")}),
+         |b AS (SELECT i // 50 AS g, SUM(value * value) AS s2
+         |      FROM m GROUP BY 1),
+         |r AS (SELECT sqrt(s2) AS sigma,
+         |             ROW_NUMBER() OVER (ORDER BY s2 DESC) AS rank
+         |      FROM b)
+         |SELECT CAST(rank AS INT) AS rank,
+         |       CAST(FLOOR(sigma * 1e4 + 0.5) AS BIGINT) AS sigma_q4
+         |FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin,
+    "svdpp_blocks" ->
+      // expected = the planted block means (training must recover them to
+      // within the integer rounding margin or the hash compare fails)
+      s"""SELECT "user" // 20 AS ug, item // 20 AS ig,
+         |       CAST(CASE WHEN "user" // 20 = item // 20 THEN 4 ELSE 2 END
+         |            AS BIGINT) AS mean_pred
+         |FROM ${Fixtures.sqlOf("planted_ratings")}
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "adpredictor" ->
+      // expected predict == y: the planted design is linearly separable and
+      // the class features' posterior means carry the whole decision
+      s"""SELECT sample, y, y AS predict
+         |FROM ${Fixtures.sqlOf("planted_clicks")}
+         |ORDER BY sample""".stripMargin,
+    "coem" ->
+      // expected hard label = planted block membership (bridge 150 → block
+      // A by its 3-vs-1 co-occurrence weight), Planted.coemGraph scaladoc
+      s"""WITH e AS (SELECT * FROM ${Fixtures.sqlOf("planted_coem")}),
+         |v AS (SELECT DISTINCT src AS id FROM e)
+         |SELECT id,
+         |       CAST(CASE WHEN id < 50 OR (id BETWEEN 100 AND 124)
+         |                      OR id = 150
+         |                 THEN 1 ELSE 2 END AS BIGINT) AS label
+         |FROM v ORDER BY id""".stripMargin,
     "cf_item_similarity" ->
       """WITH inter AS MATERIALIZED (
         |  SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS i

@@ -11,6 +11,11 @@ import graft.core.LinkGraph
   * expressed as nested BSP fixpoints:
   *
   *   while vertices remain:
+  *     0. trim: vertices with no live in-edges or no live out-edges are
+  *        singleton SCCs — peel them without any coloring (the "Trim" step
+  *        of hybrid SCC algorithms, e.g. Slota et al.'s Multistep; removes
+  *        the acyclic periphery — for provenance DAGs that is most of the
+  *        graph — in cheap degree-filter rounds)
   *     1. forward fixpoint: color(v) = max id that reaches v (incl. self) —
   *        delta-iterated: only vertices whose color changed last round emit
   *        (the reference's own scheduler is selective,
@@ -21,8 +26,31 @@ import graft.core.LinkGraph
   *        confirmed set is one SCC (labeled by its root id)
   *     4. peel confirmed vertices and their edges, repeat
   *
-  * SCC labels are the root ids (the max vertex id of each SCC) — a canonical
-  * labeling, exact-match testable against a Tarjan oracle.
+  * **Adversarial shapes and the driver finish.** A descending chain of SCCs
+  * (ids decreasing along edges) defeats every BSP coloring scheme: the
+  * global max colors the whole chain, so each peel confirms exactly one SCC
+  * (O(#SCCs) peels), and the forward fixpoint itself needs O(diameter)
+  * rounds. The standard hybrid answer (Multistep) is to finish small
+  * remainders sequentially: once the live graph fits under
+  * `driverFinishBelow` rows (vertices + edges), collect it and run
+  * iterative Tarjan on the driver — a 2 M-row remainder is ~32 MB and
+  * finishes in seconds, turning the chain worst case from O(#SCCs)
+  * distributed peels into a bounded driver step. On a real cluster the
+  * threshold is sized to driver memory; 0 disables the finish (pure
+  * distributed peeling, used by the oracle gate so the BSP path stays
+  * exercised).
+  *
+  * SCC labels are the max vertex id of each SCC — a canonical labeling,
+  * exact-match testable against a Tarjan oracle (and identical between the
+  * distributed and driver-finish paths).
+  *
+  * @param maxRounds peel-round budget (fail-loud)
+  * @param driverFinishBelow collect-and-Tarjan threshold on remaining
+  *   vertices+edges; 0 disables
+  * @param maxInnerRounds budget for each forward/backward/trim fixpoint —
+  *   a high-diameter graph spins O(V) inner rounds accumulating checkpoints
+  *   with no loud failure otherwise (ADVICE r3); exceeded → exception
+  *   naming the knob
   */
 object SCC {
 
@@ -33,15 +61,75 @@ object SCC {
     */
   private val CheckEvery = 2
 
-  def run(spark: SparkSession, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
+  def run(spark: SparkSession, edges: DataFrame, maxRounds: Int = 50,
+      driverFinishBelow: Long = 2000000L,
+      maxInnerRounds: Int = 2000): DataFrame = {
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     var liveEdges = edges.select("src", "dst").distinct().localCheckpoint(true)
     var live = LinkGraph.vertices(edges).localCheckpoint(true)
     var result: DataFrame = null
     var remaining = live.count()
+    var liveEdgeCnt = liveEdges.count()
     var round = 0
 
+    def addResult(df: DataFrame): Unit = {
+      result = if (result == null) df else result.unionAll(df)
+      result = result.localCheckpoint(true)
+    }
+    def innerBudgetCheck(r: Int, phase: String): Unit =
+      if (r >= maxInnerRounds) throw new IllegalStateException(
+        s"SCC $phase fixpoint exceeded maxInnerRounds=$maxInnerRounds " +
+          s"(high-diameter graph? raise maxInnerRounds or driverFinishBelow)")
+
     while (remaining > 0 && round < maxRounds) {
+      // --- driver finish ------------------------------------------------
+      if (driverFinishBelow > 0 && remaining + liveEdgeCnt <= driverFinishBelow) {
+        addResult(tarjanFinish(spark, live, liveEdges, parts))
+        remaining = 0
+      } else {
+
+      // --- 0. trim ------------------------------------------------------
+      // Iterate the degree filter to its fixpoint (budgeted): each round
+      // peels the current acyclic fringe as singleton SCCs; a provenance
+      // DAG drains completely here in diameter rounds of cheap semi-joins,
+      // never paying for coloring. A long pure path would spin (one vertex
+      // per round) — innerBudgetCheck fails loudly, and the driver finish
+      // above absorbs any path that fits the threshold first.
+      var trimming = true
+      var trimRound = 0
+      while (trimming && remaining > 0) {
+        innerBudgetCheck(trimRound, "trim")
+        val hasIn = liveEdges.select(col("dst").as("id")).distinct()
+        val hasOut = liveEdges.select(col("src").as("id")).distinct()
+        val keep = live.join(hasIn, Seq("id"), "left_semi")
+          .join(hasOut, Seq("id"), "left_semi").localCheckpoint(true)
+        val kept = keep.count()
+        if (kept == remaining) trimming = false
+        else {
+          val trimmed = live.join(keep.select(col("id").as("kid")),
+            live("id") === col("kid"), "left_anti")
+            .select(col("id"), col("id").as("scc"))
+          addResult(trimmed)
+          live = keep
+          liveEdges = liveEdges
+            .join(live.select(col("id").as("ls")),
+              liveEdges("src") === col("ls"), "left_semi")
+            .join(live.select(col("id").as("ld")),
+              liveEdges("dst") === col("ld"), "left_semi")
+            .localCheckpoint(true)
+          remaining = kept
+          liveEdgeCnt = liveEdges.count()
+          trimRound += 1
+          // trim can drop the remainder under the driver-finish threshold
+          if (driverFinishBelow > 0 &&
+              remaining + liveEdgeCnt <= driverFinishBelow) {
+            if (remaining > 0)
+              addResult(tarjanFinish(spark, live, liveEdges, parts))
+            remaining = 0
+          }
+        }
+      }
+      if (remaining > 0) {
       // Static per-peel edge views, partitioned + sorted ONCE per direction
       // (PageRank's static-side pattern): every inner-round join below then
       // reuses the edge partitioning and shuffles only frontier-sized data,
@@ -67,6 +155,7 @@ object SCC {
       var fwdRound = 0
       var fwdDone = false
       while (!fwdDone) {
+        innerBudgetCheck(fwdRound, "forward")
         val msgs = fwdFrontier.join(eSrc, fwdFrontier("id") === eSrc("src"))
           .groupBy(col("dst")).agg(max(col("color")).as("mcolor"))
         val next = colors.join(msgs, colors("id") === msgs("dst"), "left")
@@ -99,6 +188,7 @@ object SCC {
       var bRound = 0
       var bDone = false
       while (!bDone) {
+        innerBudgetCheck(bRound, "backward")
         // predecessor candidates of the newly-confirmed frontier
         val cand = frontier.join(eDst, frontier("id") === eDst("dst"))
           .select(col("src").as("cid"), col("scc").as("cscc"))
@@ -123,8 +213,7 @@ object SCC {
         .localCheckpoint(true)
       eSrc.unpersist(false); eDst.unpersist(false)
 
-      result = if (result == null) inScc else result.unionAll(inScc)
-      result = result.localCheckpoint(true)
+      addResult(inScc)
 
       // --- 4. peel ------------------------------------------------------
       live = live.join(inScc.select(col("id").as("did")),
@@ -136,6 +225,9 @@ object SCC {
           "left_semi")
         .localCheckpoint(true)
       remaining = live.count()
+      liveEdgeCnt = liveEdges.count()
+      } // if remaining > 0 (post-trim)
+      } // else (no driver finish this round)
       round += 1
     }
     // A graph can need up to one round per SCC in the worst case (descending
@@ -148,5 +240,107 @@ object SCC {
     if (result == null)
       live.select(col("id"), col("id").as("scc"))
     else result.select("id", "scc")
+  }
+
+  /** Collect the (small, thresholded) remaining live graph and label it with
+    * iterative Tarjan on the driver — the sequential finish of hybrid SCC
+    * (caller guarantees vertices+edges <= driverFinishBelow). Labels match
+    * the distributed path: max member id per SCC.
+    */
+  private def tarjanFinish(spark: SparkSession, live: DataFrame,
+      liveEdges: DataFrame, parts: Int): DataFrame = {
+    val ids = live.select("id").collect().map(_.getLong(0)).sorted
+    val n = ids.length
+    val idx = new scala.collection.mutable.LongMap[Int](n * 2)
+    var i = 0
+    while (i < n) { idx(ids(i)) = i; i += 1 }
+    val rawEdges = liveEdges.select("src", "dst").collect()
+    val m = rawEdges.length
+    val esrc = new Array[Int](m)
+    val edst = new Array[Int](m)
+    i = 0
+    while (i < m) {
+      esrc(i) = idx(rawEdges(i).getLong(0))
+      edst(i) = idx(rawEdges(i).getLong(1))
+      i += 1
+    }
+    val label = tarjanMaxLabels(ids, esrc, edst)
+    val rows = Array.tabulate(n)(j => (ids(j), label(j)))
+    val sc = spark.sparkContext
+    import spark.implicits._
+    sc.parallelize(rows.toIndexedSeq, math.max(1, parts / 4)).toDF("id", "scc")
+  }
+
+  /** Iterative Tarjan over an index-compressed graph (explicit DFS + SCC
+    * stacks, no recursion — safe at millions of vertices). Returns the max
+    * ORIGINAL id of each vertex's SCC.
+    */
+  private[algos] def tarjanMaxLabels(ids: Array[Long], src: Array[Int],
+      dst: Array[Int]): Array[Long] = {
+    val n = ids.length
+    val m = src.length
+    // CSR adjacency
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < m) { off(src(i) + 1) += 1; i += 1 }
+    i = 0
+    while (i < n) { off(i + 1) += off(i); i += 1 }
+    val adj = new Array[Int](m)
+    val fill = java.util.Arrays.copyOf(off, n)
+    i = 0
+    while (i < m) { adj(fill(src(i))) = dst(i); fill(src(i)) += 1; i += 1 }
+
+    val UNVISITED = -1
+    val index = Array.fill(n)(UNVISITED)
+    val low = new Array[Int](n)
+    val onStack = new Array[Boolean](n)
+    val sccStack = new Array[Int](n); var sp = 0
+    val workV = new Array[Int](n); val workE = new Array[Int](n); var wp = 0
+    val label = new Array[Long](n)
+    var counter = 0
+
+    def push(v: Int): Unit = {
+      workV(wp) = v; workE(wp) = off(v); wp += 1
+      index(v) = counter; low(v) = counter; counter += 1
+      sccStack(sp) = v; sp += 1; onStack(v) = true
+    }
+
+    var start = 0
+    while (start < n) {
+      if (index(start) == UNVISITED) {
+        push(start)
+        while (wp > 0) {
+          val v = workV(wp - 1)
+          if (workE(wp - 1) < off(v + 1)) {
+            val w = adj(workE(wp - 1)); workE(wp - 1) += 1
+            if (index(w) == UNVISITED) push(w)
+            else if (onStack(w) && index(w) < low(v)) low(v) = index(w)
+          } else {
+            wp -= 1
+            if (wp > 0) {
+              val p = workV(wp - 1)
+              if (low(v) < low(p)) low(p) = low(v)
+            }
+            if (low(v) == index(v)) {
+              var boundary = sp - 1
+              while (sccStack(boundary) != v) boundary -= 1
+              var maxId = Long.MinValue
+              var j = boundary
+              while (j < sp) {
+                if (ids(sccStack(j)) > maxId) maxId = ids(sccStack(j)); j += 1
+              }
+              j = boundary
+              while (j < sp) {
+                label(sccStack(j)) = maxId; onStack(sccStack(j)) = false
+                j += 1
+              }
+              sp = boundary
+            }
+          }
+        }
+      }
+      start += 1
+    }
+    label
   }
 }

@@ -1,0 +1,60 @@
+package graft.cf
+
+import org.apache.spark.mllib.linalg.{Vectors => OldVectors}
+import org.apache.spark.mllib.linalg.distributed.{IndexedRow, IndexedRowMatrix}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed truncated SVD — the reference toolkit's Lanczos app
+  * (/root/reference/toolkits/collaborative_filtering/svd.cpp:94-118, the
+  * one CF app whose output — a singular spectrum — ALS/NMF factorizations
+  * do not produce). Spark's native replacement is
+  * `IndexedRowMatrix.computeSVD`: ARPACK's implicitly-restarted Lanczos on
+  * the driver, with every A'A·v mat-vec distributed over the row matrix —
+  * the same computational shape as the reference's distributed mat-vec +
+  * driver-side tridiagonal solve, minus its hand-rolled re-orthogonalization
+  * (ortho_repeats, svd.cpp:109) which ARPACK handles internally.
+  *
+  * The mllib entry point is RDD-based by API contract (no Dataset SVD
+  * exists); rows are assembled with one groupByKey over the sparse entries
+  * and everything else stays in ARPACK/BLAS.
+  */
+object Spectral {
+
+  /** Top-k singular values of the sparse matrix `entries` (i, j, value).
+    * Returns (rank 1..k, sigma) in descending sigma order.
+    *
+    * @param nCols column dimension (needed to size the sparse row vectors)
+    */
+  def svdTopK(entries: DataFrame, k: Int, nCols: Int): DataFrame = {
+    val spark = entries.sparkSession
+    val rows = entries.select(col("i").cast("long"), col("j").cast("int"),
+      col("value").cast("double")).rdd
+      .map(r => (r.getLong(0), (r.getInt(1), r.getDouble(2))))
+      .groupByKey()
+      .map { case (i, cs) =>
+        IndexedRow(i, OldVectors.sparse(nCols, cs.toSeq.sortBy(_._1)))
+      }
+    val svd = new IndexedRowMatrix(rows).computeSVD(k, computeU = false)
+    import spark.implicits._
+    svd.s.toArray.zipWithIndex
+      .map { case (s, r) => (r + 1, s) }.toSeq.toDF("rank", "sigma")
+  }
+
+  /** Top singular values AND the dominant right-singular-vector support per
+    * component — used by specs to check subspace recovery on planted
+    * fixtures (signs are not identifiable, supports are).
+    */
+  def svdWithV(entries: DataFrame, k: Int, nCols: Int)
+      : (Array[Double], org.apache.spark.mllib.linalg.Matrix) = {
+    val rows = entries.select(col("i").cast("long"), col("j").cast("int"),
+      col("value").cast("double")).rdd
+      .map(r => (r.getLong(0), (r.getInt(1), r.getDouble(2))))
+      .groupByKey()
+      .map { case (i, cs) =>
+        IndexedRow(i, OldVectors.sparse(nCols, cs.toSeq.sortBy(_._1)))
+      }
+    val svd = new IndexedRowMatrix(rows).computeSVD(k, computeU = false)
+    (svd.s.toArray, svd.V)
+  }
+}

@@ -71,4 +71,97 @@ object Planted {
       .filter(col("src") =!= col("dst"))
     tree.unionAll(extra)
   }
+
+  /** Planted low-rank matrix for SVD verification: `nBlocks` rank-1 blocks
+    * with disjoint row AND column supports, so the full matrix's singular
+    * values are exactly the per-block Frobenius norms
+    * (block g = w_g·u·vᵀ ⇒ σ_g = ‖w_g·u·vᵀ‖_F = w_g‖u‖‖v‖) — an oracle can
+    * recompute every σ with SUM(value²) per block, no linear algebra.
+    * Block scalars w_g = nBlocks − g keep the spectrum well-separated.
+    *
+    * Output: (i, j, value) sparse entries; block g covers rows
+    * [g·rows, (g+1)·rows) and cols [g·cols, (g+1)·cols).
+    */
+  /** Planted co-EM bipartite graph (mirrors the NP×context shape of
+    * /root/reference/toolkits/text_analysis/coem.cpp): two disjoint topic
+    * blocks, each with 50 noun phrases (ids 0..49 / 50..99), 25 contexts
+    * (100..124 / 125..149) and a per-block hub context (124 / 149) touching
+    * every block NP, so any seed reaches the whole block in ≤ 4 rounds.
+    * One bridge context (150) co-occurs with both seed NPs — weight 3 to
+    * NP 0, weight 1 to NP 50, so block A's label wins it outright.
+    * Co-occurrence weights 1 + (np % 3); edges are emitted symmetrized
+    * (co-occurrence is undirected, coem.cpp walks both edge directions).
+    *
+    * Expected hard label with seeds {0→1, 50→2}:
+    *   label(id) = 1 for id < 50, 100 ≤ id < 125, id = 150; else 2.
+    */
+  def coemGraph(spark: SparkSession): DataFrame = {
+    val np = spark.range(0, 100, 1, 8)
+    val block = (col("id") / 50).cast("long")        // 0 or 1
+    val w = (col("id") % 3 + 1).cast("double")
+    // each NP hits two block contexts (cycle position + successor) + hub
+    val c1 = lit(100) + block * 25 + col("id") % 25
+    val c2 = lit(100) + block * 25 + (col("id") + 1) % 25
+    val hub = lit(124) + block * 25
+    val fwd = np.select(col("id").as("src"), c1.as("dst"), w.as("weight"))
+      .unionAll(np.select(col("id").as("src"), c2.as("dst"), w.as("weight")))
+      .unionAll(np.select(col("id").as("src"), hub.as("dst"),
+        lit(1.0).as("weight")))
+      .unionAll(spark.range(1).select(lit(0L).as("src"), lit(150L).as("dst"),
+        lit(3.0).as("weight")))
+      .unionAll(spark.range(1).select(lit(50L).as("src"), lit(150L).as("dst"),
+        lit(1.0).as("weight")))
+    fwd.unionAll(fwd.select(col("dst").as("src"), col("src").as("dst"),
+      col("weight")))
+  }
+
+  /** Planted linearly-separable click design for AdPredictor: 200 samples,
+    * y = +1 for id < 100 else −1; class features 0..9 (positive-only) and
+    * 10..19 (negative-only), two per sample, plus one of 5 noise features
+    * (20..24) appearing in mirror-symmetric positive/negative pairs so its
+    * aggregate weight update cancels exactly. Expected prediction after any
+    * number of BSP sweeps ≥ 1: sign(Σμ) = y for every sample.
+    */
+  def clickDesign(spark: SparkSession): (DataFrame, DataFrame) = {
+    val s = spark.range(0, 200, 1, 8)
+    val samples = s.select(col("id").as("sample"),
+      when(col("id") < 100, 1).otherwise(-1).as("y"))
+    val cls = when(col("id") < 100, lit(0L)).otherwise(lit(10L))
+    val edges = s.select(col("id").as("sample"),
+        (cls + col("id") % 10).as("feature"))
+      .unionAll(s.select(col("id").as("sample"),
+        (cls + (col("id") + 3) % 10).as("feature")))
+      .unionAll(s.select(col("id").as("sample"),
+        (lit(20L) + col("id") % 5).as("feature")))
+    (samples, edges)
+  }
+
+  /** Planted non-additive block ratings for SVD++: 40 users × 40 items in
+    * 2×2 groups with means [[4,2],[2,4]] — the interaction term defeats a
+    * bias-only fit, so recovery requires the factor (and implicit-factor)
+    * machinery. Expected per-block mean prediction = the planted mean.
+    */
+  def blockRatings(spark: SparkSession): DataFrame =
+    spark.range(0, 1600, 1, 8).select(
+      (col("id") / 40).cast("long").as("user"),
+      (col("id") % 40).as("item"))
+      .select(col("user"), col("item"),
+        when((col("user") / 20).cast("long") ===
+            (col("item") / 20).cast("long"), 4.0d)
+          .otherwise(2.0d).as("rating"))
+
+  def lowRankMatrix(spark: SparkSession, nBlocks: Int = 8, rows: Int = 50,
+      cols: Int = 20): DataFrame = {
+    val rc = (rows * cols).toLong
+    spark.range(0, nBlocks * rc, 1, 8)
+      .select((col("id") / rc).cast("long").as("g"),
+        ((col("id") % rc) / cols).cast("long").as("ri"),
+        (col("id") % cols).as("cj"))
+      .select(
+        (col("g") * rows + col("ri")).as("i"),
+        (col("g") * cols + col("cj")).as("j"),
+        ((lit(nBlocks) - col("g")).cast("double") *
+          (lit(1.0) + (col("g") * rows + col("ri")) % 3) *
+          (lit(1.0) + (col("g") * cols + col("cj")) % 2)).as("value"))
+  }
 }

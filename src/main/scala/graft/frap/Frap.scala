@@ -22,7 +22,11 @@ object Frap {
   final case class Profile(
       centroids: Vector[Array[Int]],
       radii: Vector[Double],              // max distance from centroid
-      memberArrays: Vector[Array[Int]])
+      memberArrays: Vector[Array[Int]],
+      // learn-set positions of memberArrays (same order): lets dataflow
+      // callers (FrapPipeline.reclusterAtScale) map members back to graph
+      // ids without re-deriving the kept-cluster membership
+      memberIdx: Vector[Int] = Vector.empty)
 
   final case class Detection(
       distances: Vector[Double],
@@ -180,7 +184,8 @@ object Frap {
       centroids = keep.map(clustering.centroids(_)).toVector,
       radii = keep.map(i => clustering.distances(i).max).toVector,
       memberArrays = keep.flatMap(i =>
-        clustering.clusters(i).map(arrays(_))).toVector)
+        clustering.clusters(i).map(arrays(_))).toVector,
+      memberIdx = keep.flatMap(i => clustering.clusters(i)).toVector)
   }
 
   /** Detection (main.cpp:322-387): inside any cluster radius → normal; else

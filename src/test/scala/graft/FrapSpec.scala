@@ -169,6 +169,41 @@ class FrapSpec extends AnyFunSuite {
     assert(nv("novel-000")._3.isEmpty, "all-novel graph has no distance")
   }
 
+  test("distributed recluster matches the driver detect() verdicts") {
+    val edges = ProvGen.corpus(spark, nNormal = 11, nAbnormal = 1)
+    val learn = (0 until 10).map(i => f"normal-$i%03d")
+    val monitor = Seq("normal-010", "bad-000")
+    val counts = WLRelabel.kernelCounts(WLRelabel.run(edges, 4)).cache()
+    val dict = Kernels.dictionary(
+      counts.filter(col("graph_id").isInCollection(learn))).cache()
+    val dsize = dict.count().toInt
+    val arr = Kernels.countArrays(counts, dict, dsize).collect()
+      .map(r => r.getString(0) -> r.getSeq[Int](1).toArray).toMap
+    val profile = Frap.learnProfile(learn.map(arr(_)).toVector)
+    // member counts: the kept learn graphs, via Profile.memberIdx
+    val memberIds = profile.memberIdx.map(learn(_))
+    assert(profile.memberArrays.indices.forall(i =>
+      profile.memberArrays(i).sameElements(arr(memberIds(i)))),
+      "memberIdx must map memberArrays back to their learn graphs")
+    val inDict = counts.join(dict.select("label"), "label")
+    val got = FrapPipeline.detectAtScale(spark,
+      inDict.filter(col("graph_id").isInCollection(memberIds)),
+      counts.filter(col("graph_id").isInCollection(monitor)),
+      profile, dict, dsize)
+      .as[(String, Boolean, Boolean, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    monitor.foreach { g =>
+      val det = Frap.detect(profile, arr(g))
+      assert(got(g)._2 == det.withinRadius, s"$g within_radius")
+      assert(got(g)._3 == det.abnormal,
+        s"$g abnormal: dataflow ${got(g)._3} vs driver ${det.abnormal}")
+    }
+    // the planted corpus must actually exercise the recluster branch
+    assert(!Frap.detect(profile, arr("bad-000")).withinRadius,
+      "bad-000 should be outside every radius (recluster branch)")
+    counts.unpersist(false); dict.unpersist(false)
+  }
+
   test("LDA topics on a planted two-topic corpus are deterministic") {
     import graft.cf.Topics
     // two word families: docs 0..9 use words 0..4, docs 10..19 words 5..9

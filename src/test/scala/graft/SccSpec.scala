@@ -56,7 +56,7 @@ class SccSpec extends AnyFunSuite {
     val (edgesDf, _) = EdgeDerive.derive(CodeLakehouse.table(spark, 300L))
     val pairs = edgesDf.select("src", "dst").as[(Long, Long)].collect().toSeq
     val want = tarjan(pairs)
-    val got = SCC.run(spark, edgesDf, maxRounds = 300)
+    val got = SCC.run(spark, edgesDf, maxRounds = 300, driverFinishBelow = 0L)
       .as[(Long, Long)].collect().toMap
     assert(got == want)
     // sanity: the generator's back-edges must have produced >=1 real cycle
@@ -72,7 +72,8 @@ class SccSpec extends AnyFunSuite {
       (6L, 7L)                      // tail singleton
     ).toDF("src", "dst").withColumn("weight",
       org.apache.spark.sql.functions.lit(1.0))
-    val got = SCC.run(spark, edges).as[(Long, Long)].collect().toMap
+    val got = SCC.run(spark, edges, driverFinishBelow = 0L)
+      .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L,
       4L -> 6L, 5L -> 6L, 6L -> 6L, 7L -> 7L))
   }
@@ -102,7 +103,7 @@ class SccSpec extends AnyFunSuite {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.sparkContext.addSparkListener(listener)
     try {
-      val got = SCC.run(spark, edges, maxRounds = 10)
+      val got = SCC.run(spark, edges, maxRounds = 10, driverFinishBelow = 0L)
         .as[(Long, Long)].collect().toMap
       // correctness first: ring = one SCC labeled 2039, leaves singleton
       assert((0 until n).forall(i => got((2000 + i).toLong) == 2039L))
@@ -121,5 +122,89 @@ class SccSpec extends AnyFunSuite {
       spark.sparkContext.removeSparkListener(listener)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     }
+  }
+
+  test("driver-finish (Tarjan) path matches the distributed path") {
+    val (edgesDf, _) = EdgeDerive.derive(CodeLakehouse.table(spark, 300L))
+    val distributed = SCC.run(spark, edgesDf, maxRounds = 300,
+      driverFinishBelow = 0L).as[(Long, Long)].collect().toMap
+    // default threshold >> this graph: resolves entirely via collect+Tarjan
+    val hybrid = SCC.run(spark, edgesDf, maxRounds = 300)
+      .as[(Long, Long)].collect().toMap
+    assert(hybrid == distributed)
+  }
+
+  /** Descending chain of K strongly-connected blocks (ids decreasing along
+    * the chain direction): the coloring worst case — the global max colors
+    * everything, one SCC confirmed per peel.
+    */
+  private def descendingChain(k: Int, blockSize: Int): Seq[(Long, Long)] = {
+    val blocks = (0 until k).flatMap { b =>
+      val base = ((k - 1 - b) * blockSize).toLong // ids DESCEND along chain
+      val ring = (0 until blockSize).map(i =>
+        (base + i, base + (i + 1) % blockSize))
+      val skip = if (blockSize > 3)
+        (0 until blockSize).map(i => (base + i, base + (i + 3) % blockSize))
+      else Nil
+      ring ++ skip
+    }
+    val links = (0 until k - 1).map { b =>
+      (((k - 1 - b) * blockSize).toLong, ((k - 2 - b) * blockSize).toLong)
+    }
+    blocks ++ links
+  }
+
+  test("adversarial descending SCC chain: distributed peeling is O(#SCCs)") {
+    val edges = descendingChain(k = 8, blockSize = 4)
+      .toDF("src", "dst")
+      .withColumn("weight", org.apache.spark.sql.functions.lit(1.0))
+    val got = SCC.run(spark, edges, maxRounds = 10, driverFinishBelow = 0L)
+      .as[(Long, Long)].collect().toMap
+    // each block's label = its max id
+    for (b <- 0 until 8; i <- 0 until 4) {
+      val base = b * 4L
+      assert(got(base + i) == base + 3, s"vertex ${base + i}")
+    }
+  }
+
+  test("adversarial chain at hybrid defaults resolves via the driver finish") {
+    // 2000 blocks would need 2000 distributed peels; under the default
+    // threshold the whole graph collects and Tarjan finishes in one step
+    val edges = descendingChain(k = 2000, blockSize = 4)
+      .toDF("src", "dst")
+      .withColumn("weight", org.apache.spark.sql.functions.lit(1.0))
+    val got = SCC.run(spark, edges, maxRounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == 8000)
+    for (b <- Seq(0, 999, 1999); i <- 0 until 4) {
+      val base = b * 4L
+      assert(got(base + i) == base + 3)
+    }
+  }
+
+  test("trim drains a DAG without coloring (pure-path fail-loud budget too)") {
+    // a DAG (tree + cross edges, no cycles): every vertex is a singleton
+    // SCC and the trim fixpoint should peel the whole graph
+    val dag = (1 until 200).map(i => ((i / 2).toLong, i.toLong)) ++
+      (10 until 100).map(i => (i.toLong, (2 * i + 5).toLong))
+    val edges = dag.filter { case (a, b) => a != b }
+      .toDF("src", "dst")
+      .withColumn("weight", org.apache.spark.sql.functions.lit(1.0))
+    val got = SCC.run(spark, edges, maxRounds = 3, driverFinishBelow = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got.forall { case (id, scc) => id == scc })
+    // maxRounds = 3 passing proves trim (not peeling) did the work: 200
+    // singleton SCCs through the coloring path would need 200 peel rounds
+  }
+
+  test("inner fixpoint budget fails loudly on a long pure path") {
+    val path = (0 until 300).map(i => (300L - i, 299L - i)) // descending ids
+    val edges = path.toDF("src", "dst")
+      .withColumn("weight", org.apache.spark.sql.functions.lit(1.0))
+    val e = intercept[IllegalStateException] {
+      SCC.run(spark, edges, maxRounds = 500, driverFinishBelow = 0L,
+        maxInnerRounds = 20)
+    }
+    assert(e.getMessage.contains("maxInnerRounds"))
   }
 }
