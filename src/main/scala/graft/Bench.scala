@@ -154,6 +154,23 @@ object Bench {
       }
     } catch { case _: Throwable => None }
 
+  /** Did code (src/ or build.sbt) change between `commit` and HEAD? Uses a
+    * git subprocess (diff ancestry is not readable from loose files); any
+    * failure — unknown commit, no git binary — conservatively reports true
+    * (= stale), matching the guard's unverifiable-provenance rule.
+    */
+  private def codeChangedSince(commit: String,
+      repo: String = "/root/repo"): Boolean =
+    try {
+      val pb = new ProcessBuilder("git", "-C", repo, "diff", "--name-only",
+        s"$commit..HEAD", "--", "src", "build.sbt")
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val out = scala.io.Source.fromInputStream(proc.getInputStream)
+        .getLines().toVector
+      if (proc.waitFor() != 0) true else out.exists(_.nonEmpty)
+    } catch { case _: Throwable => true }
+
   private def scalingLegSubprocess(cores: Int, edgesPath: String,
       supersteps: Int): (Long, Double, Seq[Double]) = {
     val java = s"${System.getProperty("java.home")}/bin/java"
@@ -410,12 +427,15 @@ object Bench {
         p.map { f =>
           val rec = java.nio.file.Files.readString(f).trim
           // staleness guard (ADVICE r3): the recorded probe carries the git
-          // commit it was measured at; if HEAD moved since, say so in the
-          // embedded record instead of silently replaying old numbers.
+          // commit it was measured at; the record is stale only if CODE
+          // (src/ or build.sbt) changed since — committing the record
+          // itself, or BENCH.md prose, must not invalidate the measurement
+          // it documents.
           val recCommit = "\"git_commit\"\\s*:\\s*\"([0-9a-f]+)\"".r
             .findFirstMatchIn(rec).map(_.group(1))
           val stale = (recCommit, gitHead()) match {
-            case (Some(a), Some(b)) => a != b
+            case (Some(a), Some(b)) if a == b => false
+            case (Some(a), Some(_)) => codeChangedSince(a)
             case _ => true // unverifiable provenance counts as stale
           }
           s""","scaling_large":$rec,"scaling_large_stale":$stale"""

@@ -37,11 +37,24 @@ object Topics {
       .toDF("doc", "features")
   }
 
-  /** Train LDA; deterministic for a fixed seed. */
+  /** Train LDA; deterministic for a fixed seed.
+    *
+    * @param optimizer "online" (variational Bayes, minibatched — the
+    *   default) or "em" — expectation-maximization over the distributed
+    *   doc-term graph, the closer counterpart of the reference's collapsed
+    *   Gibbs sampler (lda.cpp keeps per-token topic state on the bipartite
+    *   graph and sweeps it in place; Spark's EM optimizer keeps exactly that
+    *   per-edge topic posterior distributed on the same graph, where online
+    *   VB holds only the topic-term matrix). Neither reproduces the
+    *   sampler's draws; both converge to the same posterior mode family —
+    *   the planted-corpus separation test is the contract.
+    */
   def lda(spark: SparkSession, counts: DataFrame, vocabSize: Int,
-      k: Int = 4, iters: Int = 20, seed: Long = 42L): Model = {
+      k: Int = 4, iters: Int = 20, seed: Long = 42L,
+      optimizer: String = "online"): Model = {
     val docs = docVectors(counts, vocabSize)
     val m = new LDA().setK(k).setMaxIter(iters).setSeed(seed)
+      .setOptimizer(optimizer)
       .setFeaturesCol("features")
       .fit(docs)
     val topics = m.describeTopics(10)

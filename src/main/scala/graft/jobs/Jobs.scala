@@ -136,6 +136,51 @@ object TriangleCountJob {
   }
 }
 
+object SccJob {
+  def main(args: Array[String]): Unit = {
+    val conf = Jobs.parseArgs(args)
+    val spark = Jobs.session("graft-scc", aqe = false)
+    val edges = Jobs.loadEdges(spark, conf.getOrElse("edges", "derive:100000"))
+    val out = conf.getOrElse("out", "/tmp/graft-scc")
+    val scc = SCC.run(spark, edges,
+      maxRounds = conf.getOrElse("maxRounds", "50").toInt,
+      driverFinishBelow =
+        conf.getOrElse("driverFinishBelow", "2000000").toLong)
+    scc.write.mode("overwrite").parquet(out)
+    val n = spark.read.parquet(out).select("scc").distinct().count()
+    println(s"""{"job":"scc","n_scc":$n,"out":"$out"}""")
+    spark.stop()
+  }
+}
+
+object KCoresJob {
+  def main(args: Array[String]): Unit = {
+    val conf = Jobs.parseArgs(args)
+    val spark = Jobs.session("graft-kcores", aqe = false)
+    val edges = Jobs.loadEdges(spark, conf.getOrElse("edges", "derive:100000"))
+    val out = conf.getOrElse("out", "/tmp/graft-kcores")
+    KCores.coreness(spark, edges,
+      maxIters = conf.getOrElse("maxIters", "200").toInt)
+      .write.mode("overwrite").parquet(out)
+    println(s"""{"job":"kcores","out":"$out"}""")
+    spark.stop()
+  }
+}
+
+object MsfJob {
+  def main(args: Array[String]): Unit = {
+    val conf = Jobs.parseArgs(args)
+    val spark = Jobs.session("graft-msf", aqe = false)
+    val edges = Jobs.loadEdges(spark, conf.getOrElse("edges", "derive:100000"))
+    val out = conf.getOrElse("out", "/tmp/graft-msf")
+    MinimumSpanningForest.run(spark, edges,
+      maxRounds = conf.getOrElse("maxRounds", "50").toInt)
+      .write.mode("overwrite").parquet(out)
+    println(s"""{"job":"msf","out":"$out"}""")
+    spark.stop()
+  }
+}
+
 object LabelPropagationJob {
   def main(args: Array[String]): Unit = {
     val conf = Jobs.parseArgs(args)

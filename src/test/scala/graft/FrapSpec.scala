@@ -228,6 +228,29 @@ class FrapSpec extends AnyFunSuite {
     assert(fam1.groupBy(identity).values.map(_.size).max >= 8)
   }
 
+  test("LDA em optimizer (Gibbs-parity path) separates the planted topics") {
+    import graft.cf.Topics
+    val counts = (for {
+      d <- 0 until 20; w <- 0 until 5
+    } yield (d.toLong, (if (d < 10) w else w + 5), 3L + (d + w) % 4))
+      .toDF("doc", "word", "cnt")
+    val m = Topics.lda(spark, counts, vocabSize = 10, k = 2, iters = 25,
+      optimizer = "em")
+    val dom = m.docTopics.collect().map { r =>
+      val v = r.getAs[org.apache.spark.ml.linalg.Vector]("topicDistribution")
+      (r.getLong(0), v.argmax)
+    }.toMap
+    val fam0 = (0L until 10L).map(dom)
+    val fam1 = (10L until 20L).map(dom)
+    // each planted family lands on one dominant topic, and the two families
+    // land on DIFFERENT topics (em assigns hard-ish posteriors here)
+    assert(fam0.groupBy(identity).values.map(_.size).max >= 8)
+    assert(fam1.groupBy(identity).values.map(_.size).max >= 8)
+    val top0 = fam0.groupBy(identity).maxBy(_._2.size)._1
+    val top1 = fam1.groupBy(identity).maxBy(_._2.size)._1
+    assert(top0 != top1, "families should separate into distinct topics")
+  }
+
   test("kmeans prior + kmeans: single behavior family forms one big cluster") {
     val arrays = (0 until 8).map { i =>
       Array(40 + i, 20, 10 + (i % 3), 5, 1)
