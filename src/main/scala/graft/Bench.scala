@@ -154,8 +154,9 @@ object Bench {
       }
     } catch { case _: Throwable => None }
 
-  /** Did code (src/ or build.sbt) change between `commit` and HEAD? Uses a
-    * git subprocess (diff ancestry is not readable from loose files); any
+  /** Did code (src/main or build.sbt) change between `commit` and HEAD?
+    * Test-only and docs/record commits do not invalidate a measurement.
+    * Uses a git subprocess (diff ancestry is not readable from loose files); any
     * failure — unknown commit, no git binary — conservatively reports true
     * (= stale), matching the guard's unverifiable-provenance rule.
     */
@@ -163,7 +164,7 @@ object Bench {
       repo: String = "/root/repo"): Boolean =
     try {
       val pb = new ProcessBuilder("git", "-C", repo, "diff", "--name-only",
-        s"$commit..HEAD", "--", "src", "build.sbt")
+        s"$commit..HEAD", "--", "src/main", "build.sbt")
       pb.redirectErrorStream(true)
       val proc = pb.start()
       val out = scala.io.Source.fromInputStream(proc.getInputStream)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{LinkGraph, Tables}
 import graft.algos.{ConnectedComponents, LabelPropagation, PageRank, TriangleCount}
-import graft.text.{Dedup, TextStats}
+import graft.text.{Decontaminate, Dedup, TextOps, TextStats}
 import graft.vectors.Similarity
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -282,6 +282,34 @@ object SparkEntry {
       val docs = Tables(s, dir, "documents")
       TextStats.langId(docs, TextStats.trainLangProfiles(docs))
         .select(col("doc_id"), col("lang_pred")).orderBy(col("doc_id"))
+    }),
+    "doc_decontaminate" -> ((s, dir) => {
+      // benchmark = the first 8 tokens of every 50th document (planted
+      // leakage: each source doc shares all 6 of its item's 3-gram
+      // shingles); derived identically by the DuckDB oracle
+      val docs = Tables(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") / 50).cast("long").as("bench_id"),
+          concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 8)).as("text"))
+      Decontaminate.flag(docs, bench, n = 3, minHits = 3)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+    "doc_pii_scrub" -> ((s, dir) => {
+      // plant emails/phones deterministically (counts nonzero by
+      // construction); the oracle re-derives the same augmented text and
+      // re-applies the IDENTICAL regexes — a cross-engine regex-semantics
+      // check on count and replacement
+      val docs = Tables(s, dir, "documents")
+      val planted = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" reach me at user"), col("doc_id").cast("string"),
+              lit("@example.org"))).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" or call +1 (555) 010-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+            .otherwise(lit(""))).as("text"))
+      TextStats.piiScrub(planted).orderBy(col("doc_id"))
     }),
 
     // ---- similarity search over embeddings ----------------------------------
@@ -821,6 +849,49 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "doc_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |bench AS (
+        |  SELECT doc_id // 50 AS bench_id, t[1:8] AS bt
+        |  FROM toks WHERE doc_id % 50 = 0),
+        |bsh AS (
+        |  SELECT DISTINCT bench_id,
+        |    unnest(list_transform(range(1, len(bt) - 1),
+        |      i -> array_to_string(bt[i:i+2], ' '))) AS shingle
+        |  FROM bench WHERE len(bt) >= 3),
+        |dsh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 1),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        |  FROM toks WHERE len(t) >= 3)
+        |SELECT doc_id, bench_id, CAST(COUNT(*) AS BIGINT) AS hits
+        |FROM dsh JOIN bsh USING (shingle)
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY doc_id, bench_id""".stripMargin,
+    "doc_pii_scrub" -> {
+      val e = graft.text.TextStats.EmailRe
+      val p = graft.text.TextStats.PhoneRe
+      s"""WITH planted AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 0 THEN ' reach me at user' ||
+         |      CAST(doc_id AS VARCHAR) || '@example.org' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN ' or call +1 (555) 010-' ||
+         |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+         |      AS text
+         |  FROM documents),
+         |de AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '$e')) AS BIGINT) AS n_emails,
+         |    regexp_replace(text, '$e', '<EMAIL>', 'g') AS t1
+         |  FROM planted)
+         |SELECT doc_id, n_emails,
+         |  CAST(len(regexp_extract_all(t1, '$p')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(t1, '$p', '<PHONE>', 'g')) AS scrubbed_md5
+         |FROM de ORDER BY doc_id""".stripMargin
+    },
     "doc_minhash_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]

@@ -94,4 +94,29 @@ object TextStats {
         array_min(transform(col("sh"), s => md5(s))))
         .otherwise(col("text_md5")).as("min_shingle_md5"))
   }
+
+  /** Email/phone patterns for [[piiScrub]], deliberately written in the
+    * common subset of Java regex and RE2 (no backrefs, no lookaround) so the
+    * DuckDB oracle applies the IDENTICAL patterns — the scrubbed-text hash
+    * compare is then a genuine cross-engine regex-semantics check.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+  /** PII scrubbing for a pretraining corpus: replace emails/phone-shaped
+    * spans with placeholder tokens and count what was removed. Pure column
+    * expressions (regexp_count / regexp_replace are codegen'd built-ins) —
+    * a full-corpus scan with zero shuffle, the shape a 100 TB scrub pass
+    * must have. Emails are scrubbed first so digit runs inside them are
+    * never double-counted as phones.
+    *
+    * Returns (doc_id, n_emails, n_phones, scrubbed_md5).
+    */
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val deEmailed = regexp_replace(col("text"), EmailRe, "<EMAIL>")
+    docs.select(col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(deEmailed, lit(PhoneRe)).cast("long").as("n_phones"),
+      md5(regexp_replace(deEmailed, PhoneRe, "<PHONE>")).as("scrubbed_md5"))
+  }
 }

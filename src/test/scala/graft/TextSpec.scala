@@ -117,4 +117,39 @@ class TextSpec extends AnyFunSuite {
     assert(fp(1L) == fp(2L))
     assert(fp(3L)._1 == fp(3L)._2) // < n tokens → fallback to full-text md5
   }
+
+  test("decontaminate flags exactly the docs sharing enough bench shingles") {
+    import graft.text.Decontaminate
+    val corpus = mkDocs(Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "quick brown fox jumps high today",       // shares 2 trigrams w/ b0
+      3L -> "completely unrelated text about spark engines",
+      4L -> "the quick brown fox jumps again"))       // shares 3 trigrams w/ b0
+    val bench = Seq(0L -> "the quick brown fox jumps").toDF("bench_id", "text")
+    val got = Decontaminate.flag(corpus, bench, n = 3, minHits = 3)
+      .select("doc_id", "bench_id", "hits").as[(Long, Long, Long)]
+      .collect().toSet
+    // doc 1: trigrams of bench all present (3 of 3); doc 4: same 3; doc 2
+    // has only "quick brown fox","brown fox jumps" = 2 < minHits; doc 3: 0
+    assert(got == Set((1L, 0L, 3L), (4L, 0L, 3L)))
+  }
+
+  test("pii scrub counts and replaces planted emails and phones") {
+    val d = mkDocs(Seq(
+      1L -> "contact alice.smith+x@example.org or bob@test.io today",
+      2L -> "call +1 (555) 010-9999 or 555-010-8888 now",
+      3L -> "no pii here at all"))
+    val got = TextStats.piiScrub(d)
+      .select("doc_id", "n_emails", "n_phones")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((2L, 0L)))
+    assert(got(2L) == ((0L, 2L)))
+    assert(got(3L) == ((0L, 0L)))
+    // the scrubbed hash actually changes (spans were replaced)
+    val h = TextStats.piiScrub(d).select("doc_id", "scrubbed_md5")
+      .as[(Long, String)].collect().toMap
+    val raw = d.select(col("doc_id"), md5(col("text")))
+      .as[(Long, String)].collect().toMap
+    assert(h(1L) != raw(1L) && h(2L) != raw(2L) && h(3L) == raw(3L))
+  }
 }
