@@ -311,6 +311,16 @@ object SparkEntry {
             .otherwise(lit(""))).as("text"))
       TextStats.piiScrub(planted).orderBy(col("doc_id"))
     }),
+    "doc_bag_of_words" -> ((s, dir) =>
+      // texttokens.cpp LDA prep: global alphabetical dictionary, per-doc
+      // counts within [2, 1000] to exercise the threshold filter
+      graft.text.FeatureStats.bagOfWords(Tables(s, dir, "documents"),
+        minCount = 2, maxCount = 1000)
+        .orderBy(col("doc_id"), col("word_id"))),
+    "mutual_information" -> ((s, dir) =>
+      // mi.cpp over two categorical columns of orders
+      graft.text.FeatureStats.mutualInformation(Tables(s, dir, "orders"),
+        "o_orderstatus", "o_orderpriority")),
 
     // ---- similarity search over embeddings ----------------------------------
     "ann_brute_topk" -> ((s, dir) => {
@@ -892,6 +902,40 @@ object SparkEntry {
          |  md5(regexp_replace(t1, '$p', '<PHONE>', 'g')) AS scrubbed_md5
          |FROM de ORDER BY doc_id""".stripMargin
     },
+    "doc_bag_of_words" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                       w -> length(w) >= 2)) AS word
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |cnt AS (
+        |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY 1, 2),
+        |dict AS (
+        |  SELECT word,
+        |         CAST(dense_rank() OVER (ORDER BY word) AS BIGINT) AS word_id
+        |  FROM (SELECT DISTINCT word FROM toks))
+        |SELECT c.doc_id, d.word_id, c.cnt
+        |FROM cnt c JOIN dict d USING (word)
+        |WHERE c.cnt BETWEEN 2 AND 1000
+        |ORDER BY doc_id, word_id""".stripMargin,
+    "mutual_information" ->
+      """WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM orders),
+        |xy AS (SELECT o_orderstatus AS x, o_orderpriority AS y,
+        |              CAST(COUNT(*) AS DOUBLE) AS cxy FROM orders GROUP BY 1, 2),
+        |px AS (SELECT o_orderstatus AS x, CAST(COUNT(*) AS DOUBLE) AS cx
+        |       FROM orders GROUP BY 1),
+        |py AS (SELECT o_orderpriority AS y, CAST(COUNT(*) AS DOUBLE) AS cy
+        |       FROM orders GROUP BY 1)
+        |SELECT CAST(n.n AS BIGINT) AS n,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM px) AS unique_x,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM py) AS unique_y,
+        |  CAST(FLOOR((SELECT SUM(cxy / n.n * log2((cxy * n.n) / (cx * cy)))
+        |    FROM xy JOIN px USING (x) JOIN py USING (y)) * 1e6 + 0.5)
+        |    AS BIGINT) AS mi_q6,
+        |  CAST(FLOOR((SELECT -SUM(cx / n.n * log2(cx / n.n)) FROM px)
+        |    * 1e6 + 0.5) AS BIGINT) AS h_x_q6
+        |FROM n""".stripMargin,
     "doc_minhash_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]

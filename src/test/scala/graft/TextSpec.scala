@@ -152,4 +152,42 @@ class TextSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     assert(h(1L) != raw(1L) && h(2L) != raw(2L) && h(3L) == raw(3L))
   }
+
+  test("bag of words: alphabetical ids, per-doc counts, threshold filter") {
+    import graft.text.FeatureStats
+    val d = mkDocs(Seq(
+      1L -> "bb aa bb cc x bb",   // x is length-1 → dropped
+      2L -> "cc cc dd",
+      3L -> ""))
+    // vocabulary sorted: aa=1 bb=2 cc=3 dd=4
+    val dict = FeatureStats.wordDictionary(d)
+      .as[(String, Long)].collect().toMap
+    assert(dict == Map("aa" -> 1L, "bb" -> 2L, "cc" -> 3L, "dd" -> 4L))
+    val all = FeatureStats.bagOfWords(d)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(all == Set((1L, 1L, 1L), (1L, 2L, 3L), (1L, 3L, 1L),
+      (2L, 3L, 2L), (2L, 4L, 1L)))
+    // minCount = 2 keeps only the repeated-in-doc words
+    val thr = FeatureStats.bagOfWords(d, minCount = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(thr == Set((1L, 2L, 3L), (2L, 3L, 2L)))
+  }
+
+  test("mutual information: zero when independent, H(X) when determined") {
+    import graft.text.FeatureStats
+    // independent: every (x, y) combination equally frequent
+    val ind = (for (x <- Seq("a", "b"); y <- Seq("p", "q", "r"); _ <- 1 to 4)
+      yield (x, y)).toDF("x", "y")
+    val r1 = FeatureStats.mutualInformation(ind, "x", "y")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r1 == ((24L, 2L, 3L, 0L, 1000000L))) // H(X) = 1 bit, MI = 0
+    // fully dependent: y = f(x) → MI = H(X); p(a)=1/4, p(b)=3/4
+    val dep = (Seq.fill(2)(("a", "p")) ++ Seq.fill(6)(("b", "q")))
+      .toDF("x", "y")
+    val r2 = FeatureStats.mutualInformation(dep, "x", "y")
+      .as[(Long, Long, Long, Long, Long)].head()
+    val hx = -(0.25 * math.log(0.25) + 0.75 * math.log(0.75)) / math.log(2)
+    val hxQ6 = math.floor(hx * 1e6 + 0.5).toLong
+    assert(r2 == ((8L, 2L, 2L, hxQ6, hxQ6)))
+  }
 }
