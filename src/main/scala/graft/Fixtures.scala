@@ -60,7 +60,11 @@ object Fixtures {
           side.delete()
         }
         format.createIfAbsent(d.coalesce(4), name)
-        if (!side.isFile) {
+        // (re)record the fingerprint whenever it disagrees, not just when
+        // absent: a corpse directory (exists()=false) with a surviving stale
+        // sidecar would otherwise keep the old fp past regeneration, making
+        // every later JVM delete-and-regenerate a perfectly valid fixture
+        if (!recorded.contains(fp)) {
           val tmp = java.nio.file.Files.createTempFile(
             java.nio.file.Paths.get(Dir), s".$name", ".fp")
           java.nio.file.Files.writeString(tmp, fp)

@@ -2,7 +2,7 @@ package graft.algos
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.LinkGraph
+import graft.core.{Dataflow, LinkGraph}
 
 /** Strongly-connected components via iterative forward-coloring + backward
   * confirmation — the same Salihoglu-Widom "coloring" scheme the reference
@@ -111,15 +111,21 @@ object SCC {
         .agg(count(lit(1)).as("in"))
       val outDeg = tSrc.groupBy(col("src").as("id"))
         .agg(count(lit(1)).as("out"))
-      // deg state: hash-partitioned on id, updated with frontier messages
-      var deg = live.join(inDeg, Seq("id"), "left")
-        .join(outDeg, Seq("id"), "left")
-        .select(col("id"), coalesce(col("in"), lit(0L)).as("in"),
-          coalesce(col("out"), lit(0L)).as("out"))
-        .repartition(parts, col("id"))
-        .localCheckpoint(true)
-      var frontier0 = deg.filter(col("in") === 0 || col("out") === 0)
-        .select("id").localCheckpoint(true)
+      // deg state: hash-partitioned on id, updated with frontier messages.
+      // Per-round state is checkpointRebased, not plain localCheckpoint:
+      // dIn/dOut are aggregates over frontier×edges INNER joins (size
+      // estimate = product of children) and nextDeg left-joins deg with
+      // both, so an inherited estimate compounds ~3× in bit-length per trim
+      // round — a deep acyclic fringe (the long-path shapes trim exists
+      // for) would hit the BigInteger-stats meltdown Dataflow documents.
+      var deg = Dataflow.checkpointRebased(
+        live.join(inDeg, Seq("id"), "left")
+          .join(outDeg, Seq("id"), "left")
+          .select(col("id"), coalesce(col("in"), lit(0L)).as("in"),
+            coalesce(col("out"), lit(0L)).as("out"))
+          .repartition(parts, col("id")))
+      var frontier0 = Dataflow.checkpointRebased(
+        deg.filter(col("in") === 0 || col("out") === 0).select("id"))
       var peeledTotal = 0L
       var trimRound = 0
       var frontierCnt = frontier0.count()
@@ -142,10 +148,10 @@ object SCC {
           .join(dOut, Seq("id"), "left")
           .select(col("id"), (col("in") - coalesce(col("din"), lit(0L))).as("in"),
             (col("out") - coalesce(col("dout"), lit(0L))).as("out"))
-          .localCheckpoint(true)
-        frontier0 = nextDeg.filter(col("in") === 0 || col("out") === 0)
-          .select("id").localCheckpoint(true)
-        deg = nextDeg
+        val nextDegCp = Dataflow.checkpointRebased(nextDeg)
+        frontier0 = Dataflow.checkpointRebased(
+          nextDegCp.filter(col("in") === 0 || col("out") === 0).select("id"))
+        deg = nextDegCp
         frontierCnt = frontier0.count()
         trimRound += 1
       }

@@ -21,6 +21,19 @@ import org.apache.spark.sql.functions._
   */
 object Spectral {
 
+  /** Sparse (i, j, value) entries → indexed sparse rows, the single
+    * assembly both entry points share (so fixes — e.g. to duplicate-entry
+    * handling — cannot diverge between them).
+    */
+  private def sparseRows(entries: DataFrame, nCols: Int) =
+    entries.select(col("i").cast("long"), col("j").cast("int"),
+      col("value").cast("double")).rdd
+      .map(r => (r.getLong(0), (r.getInt(1), r.getDouble(2))))
+      .groupByKey()
+      .map { case (i, cs) =>
+        IndexedRow(i, OldVectors.sparse(nCols, cs.toSeq.sortBy(_._1)))
+      }
+
   /** Top-k singular values of the sparse matrix `entries` (i, j, value).
     * Returns (rank 1..k, sigma) in descending sigma order.
     *
@@ -28,17 +41,10 @@ object Spectral {
     */
   def svdTopK(entries: DataFrame, k: Int, nCols: Int): DataFrame = {
     val spark = entries.sparkSession
-    val rows = entries.select(col("i").cast("long"), col("j").cast("int"),
-      col("value").cast("double")).rdd
-      .map(r => (r.getLong(0), (r.getInt(1), r.getDouble(2))))
-      .groupByKey()
-      .map { case (i, cs) =>
-        IndexedRow(i, OldVectors.sparse(nCols, cs.toSeq.sortBy(_._1)))
-      }
-    val svd = new IndexedRowMatrix(rows).computeSVD(k, computeU = false)
+    val (s, _) = svdWithV(entries, k, nCols)
     import spark.implicits._
-    svd.s.toArray.zipWithIndex
-      .map { case (s, r) => (r + 1, s) }.toSeq.toDF("rank", "sigma")
+    s.zipWithIndex.map { case (sv, r) => (r + 1, sv) }.toSeq
+      .toDF("rank", "sigma")
   }
 
   /** Top singular values AND the dominant right-singular-vector support per
@@ -47,14 +53,8 @@ object Spectral {
     */
   def svdWithV(entries: DataFrame, k: Int, nCols: Int)
       : (Array[Double], org.apache.spark.mllib.linalg.Matrix) = {
-    val rows = entries.select(col("i").cast("long"), col("j").cast("int"),
-      col("value").cast("double")).rdd
-      .map(r => (r.getLong(0), (r.getInt(1), r.getDouble(2))))
-      .groupByKey()
-      .map { case (i, cs) =>
-        IndexedRow(i, OldVectors.sparse(nCols, cs.toSeq.sortBy(_._1)))
-      }
-    val svd = new IndexedRowMatrix(rows).computeSVD(k, computeU = false)
+    val svd = new IndexedRowMatrix(sparseRows(entries, nCols))
+      .computeSVD(k, computeU = false)
     (svd.s.toArray, svd.V)
   }
 }

@@ -50,11 +50,16 @@ object AdPredictor {
     (lit(1.0) + erf) / 2.0
   }
 
-  /** v(t) = N(t)/Φ(t), with the asymptotic −t branch once Φ(t) underflows
-    * the polynomial approximation (t < −6; v(t) → −t + O(1/t)).
+  /** v(t) = N(t)/Φ(t), with the asymptotic branch once Φ(t) underflows the
+    * polynomial approximation (t < −6). The expansion must keep the 1/(−t)
+    * term — v(t) = −t + 1/(−t) + O(1/t³) — because the downstream
+    * w(t) = v·(v+t) collapses to exactly 0 under the bare −t branch (the
+    * σ² update would be silently skipped precisely where the evidence is
+    * strongest, and w would jump from ≈1 to 0 across t = −6), whereas the
+    * two-term form gives w = 1 − 1/t² → 1, Graepel et al.'s eq. 9 limit.
     */
   private def vFun(t: Column): Column =
-    when(t < -6.0, -t).otherwise(pdf(t) / cdf(t))
+    when(t < -6.0, -t - lit(1.0) / t).otherwise(pdf(t) / cdf(t))
 
   /** Train on a samples×features design. Returns the per-feature posterior
     * (feature, mu, sigma2).

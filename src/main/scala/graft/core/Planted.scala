@@ -72,16 +72,6 @@ object Planted {
     tree.unionAll(extra)
   }
 
-  /** Planted low-rank matrix for SVD verification: `nBlocks` rank-1 blocks
-    * with disjoint row AND column supports, so the full matrix's singular
-    * values are exactly the per-block Frobenius norms
-    * (block g = w_g·u·vᵀ ⇒ σ_g = ‖w_g·u·vᵀ‖_F = w_g‖u‖‖v‖) — an oracle can
-    * recompute every σ with SUM(value²) per block, no linear algebra.
-    * Block scalars w_g = nBlocks − g keep the spectrum well-separated.
-    *
-    * Output: (i, j, value) sparse entries; block g covers rows
-    * [g·rows, (g+1)·rows) and cols [g·cols, (g+1)·cols).
-    */
   /** Planted co-EM bipartite graph (mirrors the NP×context shape of
     * /root/reference/toolkits/text_analysis/coem.cpp): two disjoint topic
     * blocks, each with 50 noun phrases (ids 0..49 / 50..99), 25 contexts
@@ -150,6 +140,16 @@ object Planted {
             (col("item") / 20).cast("long"), 4.0d)
           .otherwise(2.0d).as("rating"))
 
+  /** Planted low-rank matrix for SVD verification: `nBlocks` rank-1 blocks
+    * with disjoint row AND column supports, so the full matrix's singular
+    * values are exactly the per-block Frobenius norms
+    * (block g = w_g·u·vᵀ ⇒ σ_g = ‖w_g·u·vᵀ‖_F = w_g‖u‖‖v‖) — an oracle can
+    * recompute every σ with SUM(value²) per block, no linear algebra.
+    * Block scalars w_g = nBlocks − g keep the spectrum well-separated.
+    *
+    * Output: (i, j, value) sparse entries; block g covers rows
+    * [g·rows, (g+1)·rows) and cols [g·cols, (g+1)·cols).
+    */
   def lowRankMatrix(spark: SparkSession, nBlocks: Int = 8, rows: Int = 50,
       cols: Int = 20): DataFrame = {
     val rc = (rows * cols).toLong

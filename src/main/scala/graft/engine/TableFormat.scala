@@ -60,19 +60,14 @@ final class ParquetFormat(val root: String) extends TableFormat {
     val tmp = new java.io.File(
       s"$root/.tmp-${table.replace('/', '_')}-${ProcessHandle.current().pid()}")
     df.write.mode("overwrite").parquet(tmp.getAbsolutePath)
-    // Rename FIRST (ADVICE r3: the old delete-then-rename had a TOCTOU
-    // window where this writer could delete a winner that committed between
-    // the exists() probe and the delete). The corpse-clearing path — a
-    // target directory left by a killed writer, i.e. present but without
-    // _SUCCESS — only runs when the rename fails, and then under a lock
-    // file so two repairers cannot interleave a delete with a third
-    // writer's commit. A committed winner is never deleted: every delete
-    // below happens only after exists() returned false *while holding the
-    // lock that every corpse-repairer must take*.
-    if (tmp.renameTo(target)) return
-    if (exists(table)) { // lost the race to a committed winner: keep its bytes
-      org.apache.commons.io.FileUtils.deleteDirectory(tmp); return
-    }
+    // EVERY mutation of the target — corpse delete and commit rename alike —
+    // happens under the lock file, so the full check-delete-rename sequence
+    // is exclusive and a committed winner can never be deleted (ADVICE r3's
+    // delete-then-rename TOCTOU; an earlier unlocked rename-first variant
+    // still let a repairer classify a table that committed between its
+    // exists() probe and its isDirectory probe as a corpse). The expensive
+    // part — the parquet write — stays outside the lock; the critical
+    // section is two stats, at most one corpse delete, and one rename.
     val lock = new java.io.File(s"$root/.lock-${table.replace('/', '_')}")
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     var locked = false
@@ -89,10 +84,11 @@ final class ParquetFormat(val root: String) extends TableFormat {
           Thread.sleep(50)
         }
       }
-      if (exists(table)) { // a winner committed while we waited for the lock
+      if (exists(table)) { // lost the race to a committed winner: keep its bytes
         org.apache.commons.io.FileUtils.deleteDirectory(tmp)
       } else {
-        // still no committed table: the target (if present) is a corpse
+        // no committed table: the target (if present) is a corpse — a
+        // directory without _SUCCESS left by a killed writer
         if (target.isDirectory)
           org.apache.commons.io.FileUtils.deleteDirectory(target)
         if (!tmp.renameTo(target)) {
@@ -171,14 +167,17 @@ final class SnapshotParquetFormat(val root: String) extends TableFormat {
   override def createIfAbsent(df: => DataFrame, table: String): Unit = {
     if (exists(table)) return
     val snap = writeSnap(df, table)
-    // first-committer wins: create the pointer only if absent, atomically
-    // (createNewFile is atomic on POSIX); losers drop their snapshot
+    // first-committer wins: publish the pointer with createLink — a hard
+    // link is the one plain-filesystem primitive that atomically fails with
+    // FileAlreadyExistsException when the target is present (a no-REPLACE
+    // Files.move is a stat-then-rename(2), and rename silently replaces, so
+    // two racing movers would both "succeed" with the LAST one winning)
     val tmp = java.nio.file.Files.createTempFile(
       tableDir(table).toPath, ".ptr", ".tmp")
     java.nio.file.Files.writeString(tmp, snap.getName)
     try {
-      java.nio.file.Files.move(tmp, pointer(table).toPath) // no REPLACE: fails if present
-      ()
+      java.nio.file.Files.createLink(pointer(table).toPath, tmp)
+      java.nio.file.Files.deleteIfExists(tmp)
     } catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         java.nio.file.Files.deleteIfExists(tmp)

@@ -77,22 +77,25 @@ object FrapPipeline {
       .map { case (r, ci) => (f"cent-$ci%03d", r) }
       .toDF("gb", "radius")
     // Distributed float-sum ordering leaves a ~1e-15 residue on distances
-    // that are exactly 0 driver-side (graph == centroid; the only-in-one
-    // correction terms subtract two sums accumulated in different orders —
-    // same phenomenon hellingerMatrix's integer-mass terms dodge). Clamp
-    // the near-zero residue on the DISTANCE itself (|dist| < 1e-9 → 0)
-    // rather than widening the acceptance region (ADVICE r3: an epsilon on
-    // the radius test shifted the decision boundary for borderline graphs;
-    // the clamp rescues only the exact-zero case). Real detection margins
-    // (BENCH: abnormal min-distance ≈ 3.5 vs normal 0) dwarf the clamp.
-    val clamped = when(abs(col("dist")) < lit(1e-9), lit(0.0))
-      .otherwise(greatest(col("dist"), lit(0.0)))
+    // (the only-in-one correction terms subtract two sums accumulated in
+    // different orders — same phenomenon hellingerMatrix's integer-mass
+    // terms dodge). Rather than widening the acceptance region (ADVICE r3:
+    // an epsilon on the radius test shifted the decision boundary) or
+    // clamping only the exact-zero case (leaves a graph whose driver-exact
+    // distance EQUALS a nonzero radius flipping run-to-run), quantize BOTH
+    // sides of the comparison to the same 1e-9 grid, exactly as
+    // reclusterAtScale quantizes before its arg-min: any distance the
+    // driver oracle puts on the boundary lands on the same grid point as
+    // the radius, independent of sum order. Real detection margins (BENCH:
+    // abnormal min-distance ≈ 3.5 vs normal 0) dwarf the grid.
+    val qdist = round(greatest(col("dist"), lit(0.0)) * 1e9) / 1e9
+    val qradius = round(col("radius") * 1e9) / 1e9
     val verdicts = Kernels.klCross(inDict, cents, dictSize)
       .join(radii, "gb")
-      .withColumn("cdist", clamped)
+      .withColumn("cdist", qdist)
       .groupBy(col("ga").as("graph_id"))
       .agg(
-        max(when(col("cdist") <= col("radius"), 1).otherwise(0)).as("w"),
+        max(when(col("cdist") <= qradius, 1).otherwise(0)).as("w"),
         min(col("cdist")).as("min_distance"))
       .select(col("graph_id"), (col("w") === 1).as("within_radius"),
         col("min_distance"))
