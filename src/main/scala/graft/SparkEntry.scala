@@ -238,6 +238,42 @@ object SparkEntry {
       samples.join(graft.classify.AdPredictor.predict(model, edges), "sample")
         .select(col("sample"), col("y"), col("predict")).orderBy("sample")
     }),
+    "cf_baseline" -> ((s, dir) => {
+      // baseline.cpp's three mean predictors (GLOBAL/USER/ITEM_MEAN) over
+      // (suppkey, partkey, quantity) ratings; the [5,30] clamp is live
+      // (quantities span 1..50) so the truncation branch is exercised too
+      val r = Tables(s, dir, "lineitem").select(
+        col("l_suppkey").as("user"), col("l_partkey").as("item"),
+        col("l_quantity").as("rating"))
+      graft.cf.Eval.baselineRmse(r, minval = 5.0, maxval = 30.0)
+        .select(col("algo"),
+          floor(col("rmse") * 1e6 + 0.5).cast("long").as("rmse_q6"))
+        .orderBy("algo")
+    }),
+    "cf_ap_at_k" -> ((s, dir) => {
+      // metric_eval.cpp AP@K: per-order line-number ranking ("predictions")
+      // scored against the quantity-descending ranking of the same lines
+      // ("actual") — same item universe, differing prefixes, so AP@3 is a
+      // real distribution over (0,1], and the exact-integer scoring path
+      // makes every value a single division of identical ints in DuckDB
+      val li = Tables(s, dir, "lineitem")
+      // l_linenumber alone is NOT unique per order in this testdata —
+      // (linenumber, partkey, suppkey) is; a full tie-break chain keeps
+      // both engines' row_number deterministic and identical
+      val wP = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      val wA = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_quantity").desc, col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+      val pred = li.select(col("l_orderkey").as("user"),
+        col("l_partkey").as("item"), row_number().over(wP).as("rank"))
+      val act = li.select(col("l_orderkey").as("user"),
+        col("l_partkey").as("item"), row_number().over(wA).as("pos"))
+      graft.cf.Eval.apAtK(pred, act, k = 3)
+        .select(col("user").as("orderkey"),
+          floor(col("ap") * 1e6 + 0.5).cast("long").as("ap_q6"))
+        .orderBy("orderkey")
+    }),
     "coem" -> ((s, _) => {
       // co-EM (text_analysis/coem.cpp) = seeded LP over the NP×context
       // bipartite graph; planted two-topic blocks make every hard label
@@ -568,6 +604,55 @@ object SparkEntry {
       s"""SELECT sample, y, y AS predict
          |FROM ${Fixtures.sqlOf("planted_clicks")}
          |ORDER BY sample""".stripMargin,
+    "cf_baseline" ->
+      """WITH r AS MATERIALIZED (
+        |  SELECT l_suppkey AS u, l_partkey AS i,
+        |         CAST(l_quantity AS DOUBLE) AS rating FROM lineitem),
+        |g AS (SELECT AVG(rating) AS p FROM r),
+        |um AS (SELECT u, AVG(rating) AS p FROM r GROUP BY 1),
+        |im AS (SELECT i, AVG(rating) AS p FROM r GROUP BY 1)
+        |SELECT algo, CAST(FLOOR(rmse * 1e6 + 0.5) AS BIGINT) AS rmse_q6
+        |FROM (
+        |  SELECT 'global_mean' AS algo, SQRT(AVG(POW(rating -
+        |    LEAST(GREATEST((SELECT p FROM g), 5), 30), 2))) AS rmse FROM r
+        |  UNION ALL
+        |  SELECT 'user_mean', SQRT(AVG(POW(rating -
+        |    LEAST(GREATEST(um.p, 5), 30), 2)))
+        |  FROM r JOIN um USING (u)
+        |  UNION ALL
+        |  SELECT 'item_mean', SQRT(AVG(POW(rating -
+        |    LEAST(GREATEST(im.p, 5), 30), 2)))
+        |  FROM r JOIN im USING (i))
+        |ORDER BY algo""".stripMargin,
+    "cf_ap_at_k" ->
+      """WITH pred AS (
+        |  SELECT l_orderkey AS u, l_partkey AS i,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber, l_partkey, l_suppkey) AS rnk
+        |  FROM lineitem),
+        |act AS (
+        |  SELECT l_orderkey AS u, l_partkey AS i,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_quantity DESC, l_linenumber, l_partkey, l_suppkey)
+        |      AS pos FROM lineitem),
+        |atr AS MATERIALIZED (SELECT * FROM act WHERE pos <= 3),
+        |asize AS (SELECT u, COUNT(*) AS asize FROM atr GROUP BY 1),
+        |mem AS (SELECT DISTINCT u, i FROM atr),
+        |sc AS (
+        |  SELECT p.u, p.rnk,
+        |         CASE WHEN m.i IS NOT NULL THEN 1 ELSE 0 END AS hit
+        |  FROM pred p LEFT JOIN mem m ON m.u = p.u AND m.i = p.i
+        |  WHERE p.rnk <= 3),
+        |cum AS (
+        |  SELECT u, rnk, hit,
+        |         SUM(hit) OVER (PARTITION BY u ORDER BY rnk) AS cum_hits
+        |  FROM sc),
+        |sco AS (SELECT u, SUM(hit * cum_hits * (6 // rnk)) AS num
+        |        FROM cum GROUP BY 1)
+        |SELECT s.u AS orderkey,
+        |  CAST(FLOOR(num / (LEAST(asize, 3) * 6) * 1e6 + 0.5) AS BIGINT)
+        |    AS ap_q6
+        |FROM sco s JOIN asize a ON a.u = s.u ORDER BY orderkey""".stripMargin,
     "coem" ->
       // expected hard label = planted block membership (bridge 150 → block
       // A by its 3-vs-1 co-occurrence weight), Planted.coemGraph scaladoc
