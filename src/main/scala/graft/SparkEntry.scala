@@ -274,6 +274,29 @@ object SparkEntry {
           floor(col("ap") * 1e6 + 0.5).cast("long").as("ap_q6"))
         .orderBy("orderkey")
     }),
+    "cf_rating_topk" -> ((s, _) => {
+      // rating.cpp serving: top-5 unrated items per user from planted
+      // dyadic factor tables (dot products exact in IEEE double, so the
+      // ranking is bit-deterministic in both engines); the [-4,4] clamp is
+      // live (raw dots span beyond it) so clamp-tie ordering by item id is
+      // exercised too
+      val f = Fixtures.persist(s, "planted_cf_factors",
+        graft.core.Planted.cfFactors(s))
+      def fac(tag: String) = f.filter(col("side") === tag)
+        .groupBy(col("id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("val"))))
+          .as("ps"))
+        .select(col("id"), transform(col("ps"), p => p("val")).as("features"))
+      val model = graft.cf.Factorize.Model(fac("u"), fac("v"))
+      val rated = fac("u").select(col("id").as("user"))
+        .crossJoin(fac("v").select(col("id").as("item")))
+        .filter((col("user") * 3 + col("item")) % 7 === 0)
+      graft.cf.Factorize.recommendTopK(model, rated, k = 5,
+          minval = -4.0, maxval = 4.0)
+        .select(col("user"), col("rank"), col("item"),
+          floor(col("prediction") * 1e6 + 0.5).cast("long").as("pred_q6"))
+        .orderBy("user", "rank")
+    }),
     "coem" -> ((s, _) => {
       // co-EM (text_analysis/coem.cpp) = seeded LP over the NP×context
       // bipartite graph; planted two-topic blocks make every hard label
@@ -653,6 +676,24 @@ object SparkEntry {
         |  CAST(FLOOR(num / (LEAST(asize, 3) * 6) * 1e6 + 0.5) AS BIGINT)
         |    AS ap_q6
         |FROM sco s JOIN asize a ON a.u = s.u ORDER BY orderkey""".stripMargin,
+    "cf_rating_topk" ->
+      // dyadic factor values make every dot product exact, so the DuckDB
+      // join+SUM ranking is bit-identical to Spark's zip_with/aggregate;
+      // exclusion set recomputed arithmetically ((u*3+i)%7=0), tie-break
+      // after the [-4,4] clamp is item ascending on both sides
+      s"""WITH f AS MATERIALIZED (
+         |  SELECT * FROM ${Fixtures.sqlOf("planted_cf_factors")}),
+         |p AS (SELECT u.id AS usr, v.id AS itm, SUM(u.val * v.val) AS dot
+         |      FROM (SELECT * FROM f WHERE side = 'u') u
+         |      JOIN (SELECT * FROM f WHERE side = 'v') v USING (pos)
+         |      GROUP BY 1, 2),
+         |c AS (SELECT usr, itm, LEAST(GREATEST(dot, -4), 4) AS pred
+         |      FROM p WHERE (usr * 3 + itm) % 7 <> 0),
+         |r AS (SELECT usr, itm, pred, ROW_NUMBER() OVER (
+         |        PARTITION BY usr ORDER BY pred DESC, itm) AS rnk FROM c)
+         |SELECT usr AS "user", CAST(rnk AS INT) AS rank, itm AS item,
+         |       CAST(FLOOR(pred * 1e6 + 0.5) AS BIGINT) AS pred_q6
+         |FROM r WHERE rnk <= 5 ORDER BY 1, 2""".stripMargin,
     "coem" ->
       // expected hard label = planted block membership (bridge 150 → block
       // A by its 3-vs-1 co-occurrence weight), Planted.coemGraph scaladoc

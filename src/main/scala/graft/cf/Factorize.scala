@@ -65,6 +65,75 @@ object Factorize {
         aggregate(zip_with(col("uf"), col("if"),
           (x, y) => x * y), lit(0.0d), (acc, v) => acc + v).as("prediction"))
 
+  /** Top-K recommendation serving from a learned factor model — the
+    * toolkit's rating.cpp (the app a user runs AFTER als/nmf/svd to turn
+    * factor tables into per-user item lists):
+    *
+    *  - predictions only for items the user has NOT rated in training
+    *    (rating.cpp:231-240's `curratings` skip);
+    *  - prediction = dot(u, v) clamped to [minval, maxval]
+    *    (als_predict, :97-106); with `singularValues` set, the SVD variant
+    *    u'·diag(σ)·v (svd_predict, :113-131) — folded into the item
+    *    factors once, before the scan;
+    *  - per user the `k` largest predictions, descending
+    *    (reverse_sort_index2, :269-274), ties broken by ascending item id
+    *    so the ranking is deterministic across engines (the reference's
+    *    tie order is Eigen-sort-internal; deviation documented).
+    *
+    * Scale shape: the reference holds ALL M+N factor vectors in every
+    * thread's RAM and loops each user over the full item catalog
+    * (:237-253). Here the item factors are a broadcast table — strictly
+    * less memory than the reference's replication — streamed against the
+    * user side with NO shuffle of the users×items candidate space: the
+    * rated-item set rides along as an array column (membership test is
+    * map-side), and top-k is taken by a two-level bounded aggregation —
+    * first within item blocks of `blockSize` (partial-aggregation buffers
+    * hold ≤ blockSize rows per (user, block)), then across the ≤
+    * ⌈N/blockSize⌉·k block winners per user. Both levels are plain
+    * `collect_list`+`sort_array`+`slice` — declarative, codegen'd, no
+    * UDAF — and the only shuffle in the whole job carries ≤
+    * ⌈N/blockSize⌉·k rows per user. Users without any unrated item yield
+    * no row (the reference zero-pads its fixed-size output buffer;
+    * deviation documented).
+    */
+  def recommendTopK(model: Model, ratings: DataFrame, k: Int,
+      minval: Double = -1e100, maxval: Double = 1e100,
+      singularValues: Option[Seq[Double]] = None,
+      blockSize: Int = 4096): DataFrame = {
+    require(k >= 1 && blockSize >= 1)
+    val items0 = model.itemFactors
+      .select(col("id").as("item"), col("features").as("vf"))
+    val items = singularValues.fold(items0) { s =>
+      items0.withColumn("vf", zip_with(col("vf"),
+        array(s.map(lit): _*), (v, w) => v * w))
+    }
+    val rated = ratings.groupBy("user").agg(collect_set("item").as("rated"))
+    val users = model.userFactors
+      .select(col("id").as("user"), col("features").as("uf"))
+      .join(rated, Seq("user"), "left")
+    val dot = aggregate(zip_with(col("uf"), col("vf"),
+      (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val cand = users.crossJoin(broadcast(items))
+      .filter(!coalesce(array_contains(col("rated"), col("item")),
+        lit(false)))
+      .select(col("user"), col("item"),
+        least(greatest(dot, lit(minval)), lit(maxval)).as("prediction"))
+    // negated prediction first: lexicographic struct sort = prediction
+    // descending, then item ascending
+    val entry = struct((-col("prediction")).as("np"), col("item").as("item"))
+    val perBlock = cand
+      .withColumn("blk", floor(col("item") / blockSize))
+      .groupBy("user", "blk")
+      .agg(slice(sort_array(collect_list(entry)), 1, k).as("top"))
+    perBlock
+      .select(col("user"), explode(col("top")).as("c"))
+      .groupBy("user")
+      .agg(slice(sort_array(collect_list(col("c"))), 1, k).as("top"))
+      .select(col("user"), posexplode(col("top")))
+      .select(col("user"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.item").as("item"), (-col("col.np")).as("prediction"))
+  }
+
   /** Training RMSE — the toolkit's convergence report (rmse_engine.hpp). */
   def rmse(model: Model, ratings: DataFrame): Double =
     predict(model, ratings.select("user", "item"))

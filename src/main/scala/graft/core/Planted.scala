@@ -164,4 +164,28 @@ object Planted {
           (lit(1.0) + (col("g") * rows + col("ri")) % 3) *
           (lit(1.0) + (col("g") * cols + col("cj")) % 2)).as("value"))
   }
+
+  /** Deterministic factor tables for the rating.cpp serving test, LONG
+    * format (side 'u'|'v', id, pos, val) so the DuckDB oracle can take the
+    * factor dot product as a plain equi-join + SUM. Every value is a DYADIC
+    * rational (denominators 4 and 8), so dot products are computed exactly
+    * in IEEE double — identical across engines and summation orders, and
+    * the q6 quantization in the gate query can never straddle a rounding
+    * boundary. `nUsers`×`nItems` with rank `d`; the "already rated"
+    * exclusion set is arithmetic — (user·3 + item) % 7 == 0 — recomputed
+    * identically by both engines rather than persisted.
+    */
+  def cfFactors(spark: SparkSession, nUsers: Int = 60, nItems: Int = 200,
+      d: Int = 6): DataFrame = {
+    def side(tag: String, n: Int, formula: org.apache.spark.sql.Column) =
+      spark.range(0, n.toLong * d, 1, 4)
+        .select((col("id") / d).cast("long").as("id"),
+          (col("id") % d).cast("int").as("pos"))
+        .select(lit(tag).as("side"), col("id"), col("pos"),
+          formula.as("val"))
+    side("u", nUsers,
+      (((col("id") * 7 + col("pos") * 13) % 19 - 9)).cast("double") / 4.0d)
+      .unionAll(side("v", nItems,
+        (((col("id") * 5 + col("pos") * 11) % 17 - 8)).cast("double") / 8.0d))
+  }
 }

@@ -107,4 +107,84 @@ class CfSpec extends AnyFunSuite {
       Factorize.als(ratings, rank = 4, iters = 10, regParam = 0.01), ratings)
     assert(e == e2)
   }
+
+  // --- rating.cpp serving: Factorize.recommendTopK ---
+
+  private def tinyModel = {
+    // 3 users × 5 items, rank 2, hand-computable dots
+    val uf = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(1.0, 1.0))).toDF("id", "features")
+    val vf = Seq((10L, Seq(5.0, 1.0)), (11L, Seq(4.0, 2.0)),
+      (12L, Seq(3.0, 3.0)), (13L, Seq(2.0, 4.0)), (14L, Seq(1.0, 5.0)))
+      .toDF("id", "features")
+    Factorize.Model(uf, vf)
+  }
+
+  test("recommendTopK ranks by dot product and excludes rated items") {
+    // user 0 dots: 5,4,3,2,1 — item 10 rated, so top-2 = 11 then 12;
+    // user 1 dots: 1,2,3,4,5 — nothing rated, top-2 = 14 then 13
+    val rated = Seq((0L, 10L)).toDF("user", "item")
+    val got = Factorize.recommendTopK(tinyModel, rated, k = 2)
+      .orderBy("user", "rank")
+      .select("user", "rank", "item", "prediction")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 1, 11L, 4.0), (0L, 2, 12L, 3.0),
+      (1L, 1, 14L, 5.0), (1L, 2, 13L, 4.0),
+      (2L, 1, 10L, 6.0), (2L, 2, 11L, 6.0)))
+  }
+
+  test("recommendTopK clamp ties break by ascending item id") {
+    // user 2 dots are all 6 — clamped at 5 they stay tied; rating.cpp's
+    // Eigen-internal tie order is replaced by deterministic item-ascending
+    val rated = spark.emptyDataset[(Long, Long)].toDF("user", "item")
+    val got = Factorize.recommendTopK(tinyModel, rated, k = 3,
+        minval = 0.0, maxval = 5.0)
+      .filter(col("user") === 2).orderBy("rank")
+      .select("item", "prediction").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((10L, 5.0), (11L, 5.0), (12L, 5.0)))
+  }
+
+  test("recommendTopK singular-value weighting matches u'·diag(σ)·v") {
+    // svd_predict (rating.cpp:113-131): weights (2, 0.5) re-rank user 0 —
+    // dot(u0, diag(2,.5)·v) = 2·v1: 10,8,6,4,2 — order unchanged; user 1
+    // = .5·v2: .5,1,1.5,2,2.5 — and user 2 mixes: 10.5,9,7.5,6,4.5
+    val rated = spark.emptyDataset[(Long, Long)].toDF("user", "item")
+    val got = Factorize.recommendTopK(tinyModel, rated, k = 1,
+        singularValues = Some(Seq(2.0, 0.5)))
+      .orderBy("user").select("item", "prediction")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((10L, 10.0), (14L, 2.5), (10L, 10.5)))
+  }
+
+  test("recommendTopK blocked path equals the naive window ranking") {
+    // blockSize=2 forces multi-block merges over the planted fixture shape
+    val f = graft.core.Planted.cfFactors(spark, nUsers = 12, nItems = 30,
+      d = 4)
+    def fac(tag: String) = f.filter(col("side") === tag)
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("val"))))
+        .as("ps"))
+      .select(col("id"), transform(col("ps"), p => p("val")).as("features"))
+    val model = Factorize.Model(fac("u"), fac("v"))
+    val rated = fac("u").select(col("id").as("user"))
+      .crossJoin(fac("v").select(col("id").as("item")))
+      .filter((col("user") * 3 + col("item")) % 7 === 0)
+    val blocked = Factorize.recommendTopK(model, rated, k = 4,
+        minval = -3.0, maxval = 3.0, blockSize = 2)
+      .select("user", "rank", "item", "prediction")
+    val naive = Factorize.predict(model,
+        fac("u").select(col("id").as("user"))
+          .crossJoin(fac("v").select(col("id").as("item")))
+          .filter((col("user") * 3 + col("item")) % 7 =!= 0))
+      .select(col("user"), col("item"),
+        least(greatest(col("prediction"), lit(-3.0)), lit(3.0))
+          .as("prediction"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user")
+          .orderBy(col("prediction").desc, col("item"))))
+      .filter(col("rank") <= 4)
+      .select("user", "rank", "item", "prediction")
+    assert(blocked.orderBy("user", "rank").collect().toSeq ==
+      naive.orderBy("user", "rank").collect().toSeq)
+  }
 }
