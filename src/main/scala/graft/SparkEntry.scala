@@ -320,6 +320,26 @@ object SparkEntry {
     // ---- dedup / text analysis over documents ------------------------------
     "doc_exact_dedup" -> ((s, dir) =>
       Dedup.exact(Tables(s, dir, "documents")).orderBy(col("text_md5"))),
+    "doc_shuffle_shards" -> ((s, dir) =>
+      // deterministic global shuffle into 8 numbered shards — the oracle
+      // replays the Lehmer key + per-shard rank exactly in integer space
+      graft.text.Export.shuffleShards(Tables(s, dir, "documents")
+          .select("doc_id"), "doc_id", numShards = 8)
+        .orderBy("shard", "pos")),
+    "doc_holdout_split" -> ((s, dir) =>
+      // dyadic fractions (0.75/0.125/0.125) keep the cumulative cuts exact
+      // in IEEE double, so the interval compare is bit-identical in DuckDB
+      graft.text.Export.holdoutSplit(Tables(s, dir, "documents")
+          .select("doc_id"), "doc_id",
+          Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125))
+        .orderBy("doc_id")),
+    "doc_mixture_sample" -> ((s, dir) =>
+      // mixture resampling: up-weight src0/src2, down-weight src1/src3
+      // (dyadic weights so frac(w) compares exactly), others dropped
+      graft.text.Export.sampleByWeights(Tables(s, dir, "documents"),
+          "doc_id", "source", Map("src0" -> 2.5, "src1" -> 0.5,
+            "src2" -> 3.0, "src3" -> 0.25))
+        .orderBy("doc_id", "copy")),
     "doc_token_counts" -> ((s, dir) =>
       TextStats.tokenCounts(Tables(s, dir, "documents")).orderBy(col("doc_id"))),
     "doc_quality" -> ((s, dir) =>
@@ -908,6 +928,49 @@ object SparkEntry {
       """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id,
         |       CAST(COUNT(*) AS BIGINT) AS dup_cnt
         |FROM documents GROUP BY 1 ORDER BY text_md5""".stripMargin,
+    "doc_shuffle_shards" ->
+      // same Lehmer arithmetic (P = 2^31−1) in exact BIGINT space; shard =
+      // key mod 8, pos = 0-based rank within shard by (key, doc_id)
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 2147483647) * 2654435761 + 42 * 40503)
+        |      % 2147483647 * 48271 % 2147483647 AS kh
+        |  FROM documents)
+        |SELECT doc_id, CAST(kh % 8 AS INT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY kh % 8
+        |    ORDER BY kh, doc_id) - 1 AS INT) AS pos
+        |FROM k ORDER BY shard, pos""".stripMargin,
+    "doc_holdout_split" ->
+      // salt 1 stream; cuts 0.75 and 0.75+0.125 = 0.875 are exact dyadic
+      // doubles, so the CASE thresholds equal Spark's scanLeft sums
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 2147483647) * 2654435761 + 42 * 40503 + 69621)
+        |      % 2147483647 * 48271 % 2147483647 / 2147483647.0 AS f
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN f < 0.75 THEN 'train'
+        |       WHEN f < 0.875 THEN 'val' ELSE 'test' END AS split
+        |FROM k ORDER BY doc_id""".stripMargin,
+    "doc_mixture_sample" ->
+      // salt 2 stream for the fractional-copy decision; dyadic weights make
+      // w - floor(w) exact on both engines
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.5
+        |                WHEN 'src2' THEN 3.0 WHEN 'src3' THEN 0.25
+        |    END AS w,
+        |    ((doc_id % 2147483647) * 2654435761 + 42 * 40503 + 2 * 69621)
+        |      % 2147483647 * 48271 % 2147483647 / 2147483647.0 AS f
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+        |e AS (
+        |  SELECT doc_id, source, w, f,
+        |    UNNEST(generate_series(0, CAST(CEIL(w) AS INT) - 1)) AS copy
+        |  FROM d)
+        |SELECT doc_id, source, CAST(copy AS INT) AS copy
+        |FROM e WHERE copy < FLOOR(w) OR f < w - FLOOR(w)
+        |ORDER BY doc_id, copy""".stripMargin,
     "doc_token_counts" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -1,0 +1,124 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data export stage — the LAST steps of a 100 TB pretraining
+  * pipeline, after dedup/quality/decontamination have pruned the corpus
+  * (beyond the reference's own surface, first-class for the pipeline this
+  * engine targets alongside [[Dedup]] and [[Decontaminate]]):
+  *
+  *  - a DETERMINISTIC global shuffle into numbered shards (training wants
+  *    documents decorrelated from crawl/source order, and re-runs must
+  *    produce byte-identical shards for reproducibility);
+  *  - a deterministic train/validation/test split;
+  *  - mixture (re)sampling: per-domain up/down-weighting to hit a target
+  *    data mix, with fractional repetition.
+  *
+  * All three derive from ONE engine-portable pseudorandom key — the same
+  * Lehmer mod-P arithmetic as `GraphOps.edgeKeepFrac` (pure integer column
+  * expressions, exact in any engine's 64-bit math, overflow-safe because
+  * ids are reduced mod P = 2^31−1 before multiplying) — so a SQL oracle
+  * replays every decision bit-for-bit, and the output is independent of
+  * partitioning, parallelism, and input row order.
+  *
+  * Scale shape: the shuffle key is attached map-side; the physical export
+  * is `repartitionByRange(shard, key)` + `sortWithinPartitions` + write —
+  * ONE range-exchange of the corpus, no global window, each shard written
+  * as one sorted file run. Split and mixture sampling are pure row-local
+  * filters/expansions with NO shuffle at all.
+  */
+object Export {
+
+  private val P = 2147483647L // 2^31 − 1 (Lehmer modulus)
+
+  /** Uniform-in-[0,1) pseudorandom fraction of (`id`, `seed`, `salt`) —
+    * the single source of randomness for shuffle order, split assignment,
+    * and repetition sampling. Distinct salts give independent streams.
+    */
+  def keyFrac(id: Column, seed: Long, salt: Long = 0L): Column =
+    keyHash(id, seed, salt).cast("double") / P.toDouble
+
+  /** The underlying integer key in [0, P), exposed for ORDER-BY use so
+    * oracle comparisons stay in exact integer space. Ids are assumed
+    * non-negative (document/row ids throughout this engine), matching
+    * `GraphOps.edgeKeepFrac`'s sign convention — both Spark and SQL `%`
+    * are sign-preserving, so the contract is identical in the oracle.
+    */
+  def keyHash(id: Column, seed: Long, salt: Long = 0L): Column =
+    ((id % P) * lit(2654435761L) + lit(seed % P) * 40503L +
+      lit(salt % P) * 69621L) % P * 48271L % P
+
+  /** Deterministic global shuffle into `numShards` shards:
+    * (<id>, shard, pos) with shard = key mod numShards and pos = the
+    * document's 0-based rank within its shard by (key, id) — id breaks the
+    * (rare) key collisions so the order is total. The window per shard is
+    * the VERIFICATION surface; the physical export path for 100 TB writes
+    * `docs.repartitionByRange(numShards, shard, key, id)
+    * .sortWithinPartitions(...)` and lets file order carry the positions —
+    * one range exchange, no per-shard single-reducer window.
+    */
+  def shuffleShards(docs: DataFrame, idCol: String, numShards: Int,
+      seed: Long = 42L): DataFrame = {
+    require(numShards >= 1)
+    val key = keyHash(col(idCol), seed)
+    val w = Window.partitionBy(col("shard")).orderBy(col("key"), col(idCol))
+    docs.select(col(idCol), (key % numShards).cast("int").as("shard"),
+        key.as("key"))
+      .withColumn("pos", row_number().over(w) - 1)
+      .drop("key")
+  }
+
+  /** Deterministic holdout split: (<id>, split) where `fractions` maps
+    * split name → mass (must sum to ≤ 1; any remainder joins the LAST
+    * listed split, so ("train" → 0.99, "val" → 0.01) is exact). Assignment
+    * is by cumulative [0,1) interval over an independent key stream —
+    * document-stable: adding or removing OTHER documents never moves an
+    * id across splits (the property that keeps eval sets frozen while the
+    * corpus grows).
+    */
+  def holdoutSplit(docs: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
+    require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-12)
+    val f = keyFrac(col(idCol), seed, salt = 1L)
+    val cuts = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val expr = fractions.init.zip(cuts.init).reverse.foldLeft(
+      lit(fractions.last._1): Column) { case (acc, ((name, _), cut)) =>
+      when(f < cut, name).otherwise(acc)
+    }
+    docs.select(col(idCol), expr.as("split"))
+  }
+
+  /** Mixture resampling to a target data mix: every document of domain d
+    * appears ⌊w_d⌋ or ⌈w_d⌉ times (expected w_d — e.g. 2.5 → 2 copies
+    * always, a 3rd for half the ids; 0.25 → kept once for a quarter).
+    * Output (<id>, <domain>, copy) with copy 0-based — the copy index
+    * keeps repeated documents distinguishable for the downstream shuffle
+    * (salt the shuffle key with it and repetitions land in different
+    * shards). Weights ride in as a broadcast (domain, weight) frame; the
+    * expansion is `explode(sequence(...))` — row-local, shuffle-free, and
+    * the fractional keep decision uses a copy-salted key stream
+    * independent of shuffle/split. Unknown domains default to weight 0
+    * (dropped) — a mix spec names its mixture exhaustively.
+    */
+  def sampleByWeights(docs: DataFrame, idCol: String, domainCol: String,
+      weights: Map[String, Double], seed: Long = 42L): DataFrame = {
+    require(weights.values.forall(w => w >= 0.0 && w <= 1000.0))
+    import docs.sparkSession.implicits._
+    // weight-0 domains must drop BEFORE the explode: sequence(0, -1) is a
+    // descending Spark sequence, not empty
+    val wdf = weights.toSeq.toDF("domain", "weight")
+      .filter(col("weight") > 0.0)
+    docs.select(col(idCol), col(domainCol))
+      .join(broadcast(wdf), docs(domainCol) === wdf("domain"))
+      .select(col(idCol), col(domainCol),
+        explode(sequence(lit(0), ceil(col("weight")).cast("int") - 1))
+          .as("copy"),
+        col("weight"))
+      .filter(col("copy") < floor(col("weight")) ||
+        keyFrac(col(idCol), seed, salt = 2L) <
+          col("weight") - floor(col("weight")))
+      .select(col(idCol), col(domainCol), col("copy").cast("int").as("copy"))
+  }
+}
