@@ -340,6 +340,44 @@ object SparkEntry {
           "doc_id", "source", Map("src0" -> 2.5, "src1" -> 0.5,
             "src2" -> 3.0, "src3" -> 0.25))
         .orderBy("doc_id", "copy")),
+    "doc_export_pipeline" -> ((s, dir) => {
+      // END-TO-END export: quality gate → exact-dedup keep → benchmark
+      // decontamination → train holdout → mixture resample → deterministic
+      // shuffle into shards. Each stage is the SAME component its
+      // standalone gate query verifies; the oracle re-runs the whole chain
+      // in SQL, proving the stages compose with no hidden coupling. The
+      // mixture's (doc, copy) pairs get a combined id uid = doc_id·4 +
+      // copy (copy < 4 by the weight cap) so repetitions shuffle
+      // independently, as the Export scaladoc prescribes.
+      val docs = Tables(s, dir, "documents")
+      val good = TextStats.quality(docs)
+        .filter(col("quality_q6") >= 700000).select("doc_id")
+      val kept = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") / 50).cast("long").as("bench_id"),
+          concat_ws(" ", slice(TextOps.tokens(col("text")), 1, 8)).as("text"))
+      val dirty = Decontaminate.flag(docs, bench, n = 3, minHits = 3)
+        .select("doc_id").distinct()
+      val clean = docs.select("doc_id", "source")
+        .join(good, "doc_id").join(kept, "doc_id")
+        .join(dirty, Seq("doc_id"), "left_anti")
+      val train = graft.text.Export.holdoutSplit(clean.select("doc_id"),
+          "doc_id", Seq("train" -> 0.875, "heldout" -> 0.125))
+        .filter(col("split") === "train").select("doc_id")
+      val mixed = graft.text.Export.sampleByWeights(
+        clean.join(train, "doc_id"), "doc_id", "source",
+        Map("src0" -> 2.0, "src1" -> 0.5, "src2" -> 1.5, "src3" -> 0.25,
+          "src4" -> 1.0, "src5" -> 2.5, "src6" -> 0.75, "src7" -> 1.0,
+          "src8" -> 0.5, "src9" -> 1.25))
+      val withUid = mixed.select(
+        (col("doc_id") * 4 + col("copy")).as("uid"),
+        col("doc_id"), col("source"), col("copy"))
+      graft.text.Export.shuffleShards(withUid.select("uid"), "uid", 4)
+        .join(withUid, "uid")
+        .select(col("doc_id"), col("source"), col("copy"),
+          col("shard"), col("pos"))
+        .orderBy("shard", "pos")
+    }),
     "doc_token_counts" -> ((s, dir) =>
       TextStats.tokenCounts(Tables(s, dir, "documents")).orderBy(col("doc_id"))),
     "doc_quality" -> ((s, dir) =>
@@ -971,6 +1009,97 @@ object SparkEntry {
         |SELECT doc_id, source, CAST(copy AS INT) AS copy
         |FROM e WHERE copy < FLOOR(w) OR f < w - FLOOR(w)
         |ORDER BY doc_id, copy""".stripMargin,
+    "doc_export_pipeline" ->
+      // the full chain in one SQL statement: quality q6 formula (as in
+      // doc_quality), md5 keep (doc_exact_dedup), 3-gram bench leakage
+      // (doc_decontaminate), salt-1 split / salt-2 mixture / salt-0
+      // shuffle Lehmer streams (doc_holdout_split / doc_mixture_sample /
+      // doc_shuffle_shards) — all dyadic constants so every compare is
+      // IEEE-exact in both engines
+      """WITH t AS (
+        |  SELECT doc_id, text, source,
+        |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS DOUBLE) AS ntok,
+        |    CAST(len(list_filter(toks,
+        |      x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS nstop,
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) AS npunct,
+        |    CAST(length(text) AS DOUBLE) AS nchars,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS nws
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, ntok,
+        |    CASE WHEN ntok > 0 THEN nstop / ntok ELSE 0.0 END AS stop_ratio,
+        |    CASE WHEN nchars > 0 THEN npunct / nchars ELSE 0.0 END AS punct_ratio,
+        |    CASE WHEN ntok > 0 THEN nws / ntok ELSE 0.0 END AS mean_tok_len
+        |  FROM m),
+        |good AS (
+        |  SELECT doc_id FROM r
+        |  WHERE CAST(FLOOR((LEAST(ntok / 50.0, 1.0) * 0.4
+        |    + LEAST(stop_ratio * 10.0, 1.0) * 0.2
+        |    + (CASE WHEN mean_tok_len BETWEEN 3.0 AND 10.0
+        |            THEN 1.0 ELSE 0.0 END) * 0.2
+        |    + (1.0 - LEAST(punct_ratio * 5.0, 1.0)) * 0.2) * 1e6 + 0.5)
+        |    AS BIGINT) >= 700000),
+        |keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |bench AS (
+        |  SELECT doc_id // 50 AS bench_id, toks[1:8] AS bt
+        |  FROM t WHERE doc_id % 50 = 0),
+        |bsh AS (
+        |  SELECT DISTINCT bench_id,
+        |    unnest(list_transform(range(1, len(bt) - 1),
+        |      i -> array_to_string(bt[i:i+2], ' '))) AS shingle
+        |  FROM bench WHERE len(bt) >= 3),
+        |dsh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+        |  FROM t WHERE len(toks) >= 3),
+        |dirty AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, bench_id FROM dsh JOIN bsh USING (shingle)
+        |    GROUP BY 1, 2 HAVING COUNT(*) >= 3)),
+        |clean AS (
+        |  SELECT d.doc_id, d.source FROM documents d
+        |  JOIN good USING (doc_id) JOIN keep USING (doc_id)
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM dirty)),
+        |train AS (
+        |  SELECT doc_id, source FROM clean
+        |  WHERE ((doc_id % 2147483647) * 2654435761 + 42 * 40503 + 69621)
+        |    % 2147483647 * 48271 % 2147483647 / 2147483647.0 < 0.875),
+        |mix AS (
+        |  SELECT doc_id, source,
+        |    CASE source WHEN 'src0' THEN 2.0 WHEN 'src1' THEN 0.5
+        |      WHEN 'src2' THEN 1.5 WHEN 'src3' THEN 0.25
+        |      WHEN 'src4' THEN 1.0 WHEN 'src5' THEN 2.5
+        |      WHEN 'src6' THEN 0.75 WHEN 'src7' THEN 1.0
+        |      WHEN 'src8' THEN 0.5 WHEN 'src9' THEN 1.25 END AS w,
+        |    ((doc_id % 2147483647) * 2654435761 + 42 * 40503 + 2 * 69621)
+        |      % 2147483647 * 48271 % 2147483647 / 2147483647.0 AS f
+        |  FROM train
+        |  WHERE source IN ('src0','src1','src2','src3','src4',
+        |                   'src5','src6','src7','src8','src9')),
+        |e AS (
+        |  SELECT doc_id, source, w, f,
+        |    UNNEST(generate_series(0, CAST(CEIL(w) AS INT) - 1)) AS copy
+        |  FROM mix),
+        |picked AS (
+        |  SELECT doc_id, source, CAST(copy AS INT) AS copy,
+        |         doc_id * 4 + copy AS uid
+        |  FROM e WHERE copy < FLOOR(w) OR f < w - FLOOR(w)),
+        |k AS (
+        |  SELECT doc_id, source, copy,
+        |    ((uid % 2147483647) * 2654435761 + 42 * 40503)
+        |      % 2147483647 * 48271 % 2147483647 AS kh, uid
+        |  FROM picked)
+        |SELECT doc_id, source, copy, CAST(kh % 4 AS INT) AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY kh % 4
+        |    ORDER BY kh, uid) - 1 AS INT) AS pos
+        |FROM k ORDER BY shard, pos""".stripMargin,
     "doc_token_counts" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0

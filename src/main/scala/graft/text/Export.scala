@@ -70,6 +70,39 @@ object Export {
       .drop("key")
   }
 
+  /** The PHYSICAL layout behind [[shuffleShards]]: the corpus (all its
+    * columns) range-partitioned by (shard, key, id) and sorted within each
+    * partition — the frame [[writeShards]] writes. ONE range exchange of
+    * the corpus, NO window: tasks own contiguous (shard, key, id) ranges,
+    * so a shard's rows land in a handful of ADJACENT tasks and the
+    * concatenation of its part-files in task order IS the (key, id)-sorted
+    * shard — file order carries the positions `shuffleShards` computes
+    * with its per-shard window (ExportSpec proves the two agree row for
+    * row). `tasksPerShard` spreads each shard over that many writers so a
+    * hot shard never funnels through one reducer at 100 TB.
+    */
+  def shardLayout(docs: DataFrame, idCol: String, numShards: Int,
+      seed: Long = 42L, tasksPerShard: Int = 1): DataFrame = {
+    require(numShards >= 1 && tasksPerShard >= 1)
+    val key = keyHash(col(idCol), seed)
+    docs.withColumn("shard", (key % numShards).cast("int"))
+      .withColumn("__key", key)
+      .repartitionByRange(numShards * tasksPerShard,
+        col("shard"), col("__key"), col(idCol))
+      .sortWithinPartitions(col("shard"), col("__key"), col(idCol))
+      .drop("__key") // projection preserves the per-partition sort
+  }
+
+  /** Write the shuffled corpus as `outDir/shard=S/part-*.parquet`. Rows of
+    * shard S read back in part-file order (files carry their zero-padded
+    * task index) are exactly shard S of [[shuffleShards]] in `pos` order —
+    * the 100 TB export path, with the window-free plan of [[shardLayout]].
+    */
+  def writeShards(docs: DataFrame, idCol: String, numShards: Int,
+      outDir: String, seed: Long = 42L, tasksPerShard: Int = 1): Unit =
+    shardLayout(docs, idCol, numShards, seed, tasksPerShard)
+      .write.partitionBy("shard").mode("overwrite").parquet(outDir)
+
   /** Deterministic holdout split: (<id>, split) where `fractions` maps
     * split name → mass (must sum to ≤ 1; any remainder joins the LAST
     * listed split, so ("train" → 0.99, "val" → 0.01) is exact). Assignment
