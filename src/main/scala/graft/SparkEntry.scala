@@ -282,11 +282,7 @@ object SparkEntry {
       // exercised too
       val f = Fixtures.persist(s, "planted_cf_factors",
         graft.core.Planted.cfFactors(s))
-      def fac(tag: String) = f.filter(col("side") === tag)
-        .groupBy(col("id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("val"))))
-          .as("ps"))
-        .select(col("id"), transform(col("ps"), p => p("val")).as("features"))
+      def fac(tag: String) = graft.core.Planted.cfFactorsWide(f, tag)
       val model = graft.cf.Factorize.Model(fac("u"), fac("v"))
       val rated = fac("u").select(col("id").as("user"))
         .crossJoin(fac("v").select(col("id").as("item")))

@@ -1,7 +1,7 @@
 package graft.cf
 
 import org.apache.spark.ml.recommendation.ALS
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Matrix-factorization CF — the reference toolkit's ALS flagship
@@ -52,6 +52,13 @@ object Factorize {
       m.itemFactors.toDF("id", "features"))
   }
 
+  /** dot(u, v) over two equal-length array<double> factor columns — one
+    * codegen'd expression, shared by [[predict]] and [[recommendTopK]].
+    */
+  private def dot(uf: Column, vf: Column): Column =
+    aggregate(zip_with(uf, vf, (x, y) => x * y), lit(0.0d),
+      (acc, v) => acc + v)
+
   /** Predicted rating for every (user, item) in `pairs` via factor dot
     * product — a join + codegen'd aggregate, no UDF.
     */
@@ -62,8 +69,7 @@ object Factorize {
       .join(model.itemFactors.select(col("id").as("item"),
         col("features").as("if")), "item")
       .select(col("user"), col("item"),
-        aggregate(zip_with(col("uf"), col("if"),
-          (x, y) => x * y), lit(0.0d), (acc, v) => acc + v).as("prediction"))
+        dot(col("uf"), col("if")).as("prediction"))
 
   /** Top-K recommendation serving from a learned factor model — the
     * toolkit's rating.cpp (the app a user runs AFTER als/nmf/svd to turn
@@ -111,13 +117,12 @@ object Factorize {
     val users = model.userFactors
       .select(col("id").as("user"), col("features").as("uf"))
       .join(rated, Seq("user"), "left")
-    val dot = aggregate(zip_with(col("uf"), col("vf"),
-      (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
     val cand = users.crossJoin(broadcast(items))
       .filter(!coalesce(array_contains(col("rated"), col("item")),
         lit(false)))
       .select(col("user"), col("item"),
-        least(greatest(dot, lit(minval)), lit(maxval)).as("prediction"))
+        least(greatest(dot(col("uf"), col("vf")), lit(minval)),
+          lit(maxval)).as("prediction"))
     // negated prediction first: lexicographic struct sort = prediction
     // descending, then item ascending
     val entry = struct((-col("prediction")).as("np"), col("item").as("item"))

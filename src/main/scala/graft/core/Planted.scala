@@ -188,4 +188,15 @@ object Planted {
       .unionAll(side("v", nItems,
         (((col("id") * 5 + col("pos") * 11) % 17 - 8)).cast("double") / 8.0d))
   }
+
+  /** Long→wide reshape of one [[cfFactors]] side: (id, features[d]) — the
+    * ONE decoding of the fixture layout, shared by the `cf_rating_topk`
+    * gate query and CfSpec so the two can't silently diverge.
+    */
+  def cfFactorsWide(f: DataFrame, tag: String): DataFrame =
+    f.filter(col("side") === tag)
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("val"))))
+        .as("ps"))
+      .select(col("id"), transform(col("ps"), p => p("val")).as("features"))
 }

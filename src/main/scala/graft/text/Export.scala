@@ -84,6 +84,10 @@ object Export {
   def shardLayout(docs: DataFrame, idCol: String, numShards: Int,
       seed: Long = 42L, tasksPerShard: Int = 1): DataFrame = {
     require(numShards >= 1 && tasksPerShard >= 1)
+    // withColumn would silently REPLACE a caller column of the same name
+    // (e.g. re-sharding previously exported data) — refuse instead
+    require(!docs.columns.contains("shard") && !docs.columns.contains("__key"),
+      "input already has a 'shard'/'__key' column; rename it before sharding")
     val key = keyHash(col(idCol), seed)
     docs.withColumn("shard", (key % numShards).cast("int"))
       .withColumn("__key", key)
@@ -113,7 +117,8 @@ object Export {
     */
   def holdoutSplit(docs: DataFrame, idCol: String,
       fractions: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
-    require(fractions.nonEmpty && fractions.map(_._2).sum <= 1.0 + 1e-12)
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0.0) &&
+      fractions.map(_._2).sum <= 1.0 + 1e-12)
     val f = keyFrac(col(idCol), seed, salt = 1L)
     val cuts = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
     val expr = fractions.init.zip(cuts.init).reverse.foldLeft(
@@ -140,18 +145,18 @@ object Export {
     require(weights.values.forall(w => w >= 0.0 && w <= 1000.0))
     import docs.sparkSession.implicits._
     // weight-0 domains must drop BEFORE the explode: sequence(0, -1) is a
-    // descending Spark sequence, not empty
-    val wdf = weights.toSeq.toDF("domain", "weight")
-      .filter(col("weight") > 0.0)
+    // descending Spark sequence, not empty. Internal columns carry a __
+    // prefix so a corpus whose domain column is literally named "domain"
+    // (or that carries a "weight" column) doesn't hit AMBIGUOUS_REFERENCE.
+    val wdf = weights.toSeq.toDF("__domain", "__weight")
+      .filter(col("__weight") > 0.0)
+    val w = col("__weight")
     docs.select(col(idCol), col(domainCol))
-      .join(broadcast(wdf), docs(domainCol) === wdf("domain"))
+      .join(broadcast(wdf), docs(domainCol) === wdf("__domain"))
       .select(col(idCol), col(domainCol),
-        explode(sequence(lit(0), ceil(col("weight")).cast("int") - 1))
-          .as("copy"),
-        col("weight"))
-      .filter(col("copy") < floor(col("weight")) ||
-        keyFrac(col(idCol), seed, salt = 2L) <
-          col("weight") - floor(col("weight")))
-      .select(col(idCol), col(domainCol), col("copy").cast("int").as("copy"))
+        explode(sequence(lit(0), ceil(w).cast("int") - 1)).as("__copy"), w)
+      .filter(col("__copy") < floor(w) ||
+        keyFrac(col(idCol), seed, salt = 2L) < w - floor(w))
+      .select(col(idCol), col(domainCol), col("__copy").cast("int").as("copy"))
   }
 }

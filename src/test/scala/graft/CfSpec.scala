@@ -160,11 +160,7 @@ class CfSpec extends AnyFunSuite {
     // blockSize=2 forces multi-block merges over the planted fixture shape
     val f = graft.core.Planted.cfFactors(spark, nUsers = 12, nItems = 30,
       d = 4)
-    def fac(tag: String) = f.filter(col("side") === tag)
-      .groupBy(col("id"))
-      .agg(array_sort(collect_list(struct(col("pos"), col("val"))))
-        .as("ps"))
-      .select(col("id"), transform(col("ps"), p => p("val")).as("features"))
+    def fac(tag: String) = graft.core.Planted.cfFactorsWide(f, tag)
     val model = Factorize.Model(fac("u"), fac("v"))
     val rated = fac("u").select(col("id").as("user"))
       .crossJoin(fac("v").select(col("id").as("item")))

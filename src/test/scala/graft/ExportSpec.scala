@@ -58,17 +58,19 @@ class ExportSpec extends AnyFunSuite {
       .orderBy("shard", "pos")
       .select("shard", "doc_id").as[(Int, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
-    val shardDirs = java.nio.file.Files.list(java.nio.file.Paths.get(out))
-      .iterator().asScala.filter(_.getFileName.toString.startsWith("shard="))
-      .toSeq
+    def ls(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
+    val shardDirs = ls(java.nio.file.Paths.get(out))
+      .filter(_.getFileName.toString.startsWith("shard="))
     assert(shardDirs.map(_.getFileName.toString.drop(6).toInt).sorted ==
       (0 until 8))
     shardDirs.foreach { dir =>
       val shard = dir.getFileName.toString.drop(6).toInt
       // part files sorted by their zero-padded task index: concatenating
       // them in that order must reproduce the windowed pos order exactly
-      val files = java.nio.file.Files.list(dir).iterator().asScala
-        .map(_.toString).filter(_.endsWith(".parquet")).toSeq.sorted
+      val files = ls(dir).map(_.toString).filter(_.endsWith(".parquet")).sorted
       val physical = files.flatMap { f =>
         val df = spark.read.parquet(f)
         assert(df.rdd.getNumPartitions == 1, s"file $f split on read")
