@@ -357,19 +357,21 @@ object SparkEntry {
       val clean = docs.select("doc_id", "source")
         .join(good, "doc_id").join(kept, "doc_id")
         .join(dirty, Seq("doc_id"), "left_anti")
-      val train = graft.text.Export.holdoutSplit(clean.select("doc_id"),
-          "doc_id", Seq("train" -> 0.875, "heldout" -> 0.125))
-        .filter(col("split") === "train").select("doc_id")
-      val mixed = graft.text.Export.sampleByWeights(
-        clean.join(train, "doc_id"), "doc_id", "source",
+      // holdoutSplit carries source through — no join back onto clean
+      // (which would execute the quality/dedup/decontaminate chain twice)
+      val train = graft.text.Export.holdoutSplit(clean, "doc_id",
+          Seq("train" -> 0.875, "heldout" -> 0.125))
+        .filter(col("split") === "train").drop("split")
+      val mixed = graft.text.Export.sampleByWeights(train, "doc_id", "source",
         Map("src0" -> 2.0, "src1" -> 0.5, "src2" -> 1.5, "src3" -> 0.25,
           "src4" -> 1.0, "src5" -> 2.5, "src6" -> 0.75, "src7" -> 1.0,
           "src8" -> 0.5, "src9" -> 1.25))
       val withUid = mixed.select(
         (col("doc_id") * 4 + col("copy")).as("uid"),
         col("doc_id"), col("source"), col("copy"))
-      graft.text.Export.shuffleShards(withUid.select("uid"), "uid", 4)
-        .join(withUid, "uid")
+      // shuffleShards carries the payload columns through, so NO self-join
+      // (which would re-execute the whole upstream chain twice)
+      graft.text.Export.shuffleShards(withUid, "uid", 4)
         .select(col("doc_id"), col("source"), col("copy"),
           col("shard"), col("pos"))
         .orderBy("shard", "pos")

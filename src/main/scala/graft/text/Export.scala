@@ -50,24 +50,27 @@ object Export {
     ((id % P) * lit(2654435761L) + lit(seed % P) * 40503L +
       lit(salt % P) * 69621L) % P * 48271L % P
 
-  /** Deterministic global shuffle into `numShards` shards:
-    * (<id>, shard, pos) with shard = key mod numShards and pos = the
-    * document's 0-based rank within its shard by (key, id) — id breaks the
-    * (rare) key collisions so the order is total. The window per shard is
-    * the VERIFICATION surface; the physical export path for 100 TB writes
-    * `docs.repartitionByRange(numShards, shard, key, id)
-    * .sortWithinPartitions(...)` and lets file order carry the positions —
+  /** Deterministic global shuffle into `numShards` shards: the input's
+    * columns plus (shard, pos), with shard = key mod numShards and pos =
+    * the document's 0-based rank within its shard by (key, id) — id breaks
+    * the (rare) key collisions so the order is total. All input columns
+    * ride along so a pipeline never needs a self-join to recover its
+    * payload (a self-join would re-execute the whole upstream lineage —
+    * 2× the pipeline at 100 TB). The window per shard is the VERIFICATION
+    * surface; the physical export path for 100 TB is [[writeShards]] —
     * one range exchange, no per-shard single-reducer window.
     */
   def shuffleShards(docs: DataFrame, idCol: String, numShards: Int,
       seed: Long = 42L): DataFrame = {
     require(numShards >= 1)
+    require(!docs.columns.contains("shard") && !docs.columns.contains("__key"),
+      "input already has a 'shard'/'__key' column; rename it before sharding")
     val key = keyHash(col(idCol), seed)
-    val w = Window.partitionBy(col("shard")).orderBy(col("key"), col(idCol))
-    docs.select(col(idCol), (key % numShards).cast("int").as("shard"),
-        key.as("key"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__key"), col(idCol))
+    docs.withColumn("shard", (key % numShards).cast("int"))
+      .withColumn("__key", key)
       .withColumn("pos", row_number().over(w) - 1)
-      .drop("key")
+      .drop("__key")
   }
 
   /** The PHYSICAL layout behind [[shuffleShards]]: the corpus (all its
@@ -107,25 +110,29 @@ object Export {
     shardLayout(docs, idCol, numShards, seed, tasksPerShard)
       .write.partitionBy("shard").mode("overwrite").parquet(outDir)
 
-  /** Deterministic holdout split: (<id>, split) where `fractions` maps
-    * split name → mass (must sum to ≤ 1; any remainder joins the LAST
-    * listed split, so ("train" → 0.99, "val" → 0.01) is exact). Assignment
-    * is by cumulative [0,1) interval over an independent key stream —
-    * document-stable: adding or removing OTHER documents never moves an
-    * id across splits (the property that keeps eval sets frozen while the
-    * corpus grows).
+  /** Deterministic holdout split: the input's columns plus `split`, where
+    * `fractions` maps split name → mass (must sum to ≤ 1; any remainder
+    * joins the LAST listed split, so ("train" → 0.99, "val" → 0.01) is
+    * exact). Assignment is by cumulative [0,1) interval over an
+    * independent key stream — document-stable: adding or removing OTHER
+    * documents never moves an id across splits (the property that keeps
+    * eval sets frozen while the corpus grows). Payload columns ride along
+    * (like [[shuffleShards]]) so pipelines never self-join to recover
+    * them — a pure row-local projection either way.
     */
   def holdoutSplit(docs: DataFrame, idCol: String,
       fractions: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
     require(fractions.nonEmpty && fractions.forall(_._2 >= 0.0) &&
       fractions.map(_._2).sum <= 1.0 + 1e-12)
+    require(!docs.columns.contains("split"),
+      "input already has a 'split' column; rename it before splitting")
     val f = keyFrac(col(idCol), seed, salt = 1L)
     val cuts = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
     val expr = fractions.init.zip(cuts.init).reverse.foldLeft(
       lit(fractions.last._1): Column) { case (acc, ((name, _), cut)) =>
       when(f < cut, name).otherwise(acc)
     }
-    docs.select(col(idCol), expr.as("split"))
+    docs.withColumn("split", expr)
   }
 
   /** Mixture resampling to a target data mix: every document of domain d

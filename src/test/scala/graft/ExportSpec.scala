@@ -90,9 +90,9 @@ class ExportSpec extends AnyFunSuite {
   test("holdoutSplit is document-stable under corpus growth") {
     val f = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
     val small = Export.holdoutSplit(docs(100), "doc_id", f)
-      .as[(Long, String)].collect().toMap
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
     val large = Export.holdoutSplit(docs(1000), "doc_id", f)
-      .as[(Long, String)].collect().toMap
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
     small.foreach { case (id, s) =>
       assert(large(id) == s, s"doc $id moved splits when the corpus grew")
     }
@@ -107,7 +107,7 @@ class ExportSpec extends AnyFunSuite {
     // fractions sum to 0.5: everything above the 0.5 cut is "rest"
     val out = Export.holdoutSplit(docs(400), "doc_id",
         Seq("head" -> 0.25, "rest" -> 0.25))
-      .as[(Long, String)].collect()
+      .select("doc_id", "split").as[(Long, String)].collect()
     def frac(id: Long) =
       (((id % P) * 2654435761L + 42L * 40503L + 69621L) % P * 48271L % P)
         .toDouble / P.toDouble
