@@ -145,6 +145,14 @@ object SparkEntry {
         e.select(col("src").as("id")).distinct().orderBy(col("id")).limit(50),
         walksPerSource = 10, steps = 4).orderBy(col("id"))
     }),
+    "neighborhood_function" -> ((s, dir) => {
+      // exact landmark-BFS ball sizes; the HyperBall scale path over the
+      // same graph is equivalence/accuracy-tested in NeighborhoodSpec
+      val e = LinkGraph.edges(s, dir)
+      graft.algos.Neighborhood.landmarkBalls(s, e,
+        LinkGraph.vertices(e).filter(col("id") % 599 === 0), maxT = 3)
+        .orderBy(col("seed"), col("t"))
+    }),
     "kcores" -> ((s, dir) =>
       graft.algos.KCores.coreness(s, LinkGraph.edges(s, dir))
         .orderBy(col("id"))),
@@ -380,6 +388,8 @@ object SparkEntry {
       TextStats.tokenCounts(Tables(s, dir, "documents")).orderBy(col("doc_id"))),
     "doc_quality" -> ((s, dir) =>
       TextStats.quality(Tables(s, dir, "documents")).orderBy(col("doc_id"))),
+    "doc_repetition" -> ((s, dir) =>
+      TextStats.repetition(Tables(s, dir, "documents")).orderBy(col("doc_id"))),
     "doc_fingerprint" -> ((s, dir) =>
       TextStats.fingerprints(Tables(s, dir, "documents")).orderBy(col("doc_id"))),
     "doc_ngram_jaccard" -> ((s, dir) =>
@@ -877,6 +887,36 @@ object SparkEntry {
     "bond_percolation" ->
       graft.algos.GraphOps.bondPercolationOracleSql(E, 0.5),
 
+    "neighborhood_function" -> {
+      // 3 unrolled min-dist BFS closures from the id%599 landmark set over
+      // the undirected view, then cumulative ball sizes for every t in 0..3
+      val rounds = (1 to 3).map { k =>
+        s"""b$k AS MATERIALIZED (
+           |  SELECT seed, id, MIN(dist) AS dist FROM (
+           |    SELECT seed, id, dist FROM b${k - 1}
+           |    UNION ALL
+           |    SELECT p.seed, u.dst AS id, p.dist + 1 AS dist
+           |    FROM und u JOIN b${k - 1} p ON p.id = u.src)
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH edges AS MATERIALIZED (
+         |$E
+         |),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)),
+         |verts AS MATERIALIZED (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+         |b0 AS MATERIALIZED (
+         |  SELECT id AS seed, id, 0 AS dist FROM verts WHERE id % 599 = 0),
+         |$rounds
+         |SELECT b.seed, CAST(t.t AS BIGINT) AS t,
+         |       CAST(COUNT(*) AS BIGINT) AS n_reached
+         |FROM b3 b, range(0, 4) t(t) WHERE b.dist <= t.t
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
+
     "khop_subgraph" -> {
       // 3 unrolled BFS rounds from seed CUST+1 over the undirected view,
       // then the induced directed edge set
@@ -1137,6 +1177,39 @@ object SparkEntry {
         |    + (1.0 - LEAST(punct_ratio * 5.0, 1.0)) * 0.2) * 1e6 + 0.5)
         |    AS BIGINT) AS quality_q6
         |FROM r ORDER BY doc_id""".stripMargin,
+    "doc_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |              ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |c2 AS (
+        |  SELECT doc_id, g, COUNT(*) AS c FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(toks)),
+        |        i -> array_to_string(toks[i:i+1], ' '))) AS g
+        |    FROM t WHERE len(toks) >= 2) GROUP BY 1, 2),
+        |top2 AS (
+        |  SELECT doc_id, MAX(c) AS maxc, SUM(c) AS n2 FROM c2 GROUP BY 1),
+        |d3 AS (
+        |  SELECT doc_id, len(l) AS n3, len(list_distinct(l)) AS u3 FROM (
+        |    SELECT doc_id, list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' ')) AS l
+        |    FROM t WHERE len(toks) >= 3)),
+        |dt AS (
+        |  SELECT doc_id, len(toks) AS nt, len(list_distinct(toks)) AS ut
+        |  FROM t)
+        |SELECT t.doc_id,
+        |  CAST(FLOOR(COALESCE(CAST(top2.maxc AS DOUBLE) / top2.n2, 0.0)
+        |    * 1e6 + 0.5) AS BIGINT) AS top2gram_frac_q6,
+        |  CAST(FLOOR(COALESCE(CAST(d3.n3 - d3.u3 AS DOUBLE) / d3.n3, 0.0)
+        |    * 1e6 + 0.5) AS BIGINT) AS dup3gram_frac_q6,
+        |  CAST(FLOOR(CASE WHEN dt.nt > 0
+        |    THEN CAST(dt.nt - dt.ut AS DOUBLE) / dt.nt ELSE 0.0 END
+        |    * 1e6 + 0.5) AS BIGINT) AS dup_tok_frac_q6
+        |FROM t LEFT JOIN top2 USING (doc_id) LEFT JOIN d3 USING (doc_id)
+        |  JOIN dt ON dt.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "doc_fingerprint" ->
       """WITH t AS (
         |  SELECT doc_id, md5(text) AS text_md5,

@@ -95,6 +95,49 @@ object TextStats {
         .otherwise(col("text_md5")).as("min_shingle_md5"))
   }
 
+  /** Repetition filters in the style of the Gopher/MassiveText rules
+    * (Rae et al. 2021, table A1): documents dominated by one repeated
+    * n-gram or by duplicated n-grams are boilerplate/spam and get culled
+    * before pretraining. Per doc:
+    *   - top2gram_frac:   count of the most frequent token 2-gram / all 2-grams
+    *   - dup3gram_frac:   fraction of 3-gram occurrences that are repeats
+    *                      (1 - distinct/total)
+    *   - dup_tok_frac:    fraction of token occurrences that are repeats
+    *
+    * Every metric is a row-local column expression — the most-frequent-gram
+    * count is a linear run-length fold over the SORTED gram array
+    * (`aggregate`), not an explode+groupBy — so the whole pass is a zero
+    * shuffle corpus scan inside whole-stage codegen, the only shape a
+    * 100 TB quality gate can afford. Fractions are single IEEE divisions of
+    * identical integers in both engines, then q6-quantized.
+    */
+  def repetition(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val g2 = shingles(toks, 2)
+    val g3 = shingles(toks, 3)
+    // longest equal-run in the sorted array == max multiplicity of any 2-gram
+    val maxRun = aggregate(array_sort(g2),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    def q6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5).cast("long")
+    def dupFrac(arr: org.apache.spark.sql.Column) =
+      when(size(arr) > 0,
+        (size(arr) - size(array_distinct(arr))).cast("double") /
+          size(arr).cast("double")).otherwise(0.0)
+    docs.select(col("doc_id"),
+      q6(when(size(g2) > 0,
+        maxRun.cast("double") / size(g2).cast("double")).otherwise(0.0))
+        .as("top2gram_frac_q6"),
+      q6(dupFrac(g3)).as("dup3gram_frac_q6"),
+      q6(dupFrac(toks)).as("dup_tok_frac_q6"))
+  }
+
   /** Email/phone patterns for [[piiScrub]], deliberately written in the
     * common subset of Java regex and RE2 (no backrefs, no lookaround) so the
     * DuckDB oracle applies the IDENTICAL patterns — the scrubbed-text hash

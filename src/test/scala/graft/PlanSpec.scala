@@ -20,6 +20,11 @@ class PlanSpec extends AnyFunSuite {
       case e: ShuffleExchangeExec => e
     }.size
 
+  test("repetition filter pass = ZERO shuffles (pure corpus scan)") {
+    val docs = graft.core.Tables(spark, TestSessions.Sf0001, "documents")
+    assert(shuffles(graft.text.TextStats.repetition(docs)) == 0)
+  }
+
   test("PageRank superstep from checkpointed state = exactly ONE shuffle") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -32,6 +32,39 @@ class TextSpec extends AnyFunSuite {
     assert(got == Set((1L, 3L), (3L, 1L)))
   }
 
+  test("repetition fractions match a plain-Scala recomputation") {
+    val hand = mkDocs(Seq(
+      1L -> "spam spam spam spam",        // one 2-gram dominates
+      2L -> "a b c d e",                  // all distinct
+      3L -> "x y x y x y z",              // duplicated 2/3-grams
+      4L -> "solo",                       // too short for any gram
+      5L -> ""))                          // empty
+    val got = TextStats.repetition(hand)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    def grams(t: String, n: Int): Seq[String] = {
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.size < n) Seq.empty else toks.sliding(n).map(_.mkString(" ")).toSeq
+    }
+    val want = Seq(1L -> "spam spam spam spam", 2L -> "a b c d e",
+      3L -> "x y x y x y z", 4L -> "solo", 5L -> "").map { case (id, t) =>
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val g2 = grams(t, 2); val g3 = grams(t, 3)
+      val top2 = if (g2.isEmpty) 0.0
+        else g2.groupBy(identity).values.map(_.size).max.toDouble / g2.size
+      def dup(xs: Seq[String]) = if (xs.isEmpty) 0.0
+        else (xs.size - xs.distinct.size).toDouble / xs.size
+      id -> ((q6(top2), q6(dup(g3)), q6(dup(toks))))
+    }.toMap
+    assert(got == want)
+    // and over the real corpus: never NaN/negative, all within [0, 1e6]
+    val corpus = TextStats.repetition(docs)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(corpus.forall(r => Seq(r._2, r._3, r._4)
+      .forall(v => v >= 0L && v <= 1000000L)))
+  }
+
   test("ngram jaccard pairs match a plain-Scala shingle computation") {
     val got = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.5)
       .select("doc_a", "doc_b", "jaccard_q6")
