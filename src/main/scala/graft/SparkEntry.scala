@@ -19,6 +19,36 @@ import graft.vectors.Similarity
 object SparkEntry {
 
   private val E = LinkGraph.edgesSql
+
+  /** Shared oracle CTE: 3 unrolled min-dist BFS closures from the id%599
+    * landmark set over the undirected view (b3 = (seed, id, dist) for every
+    * vertex within 3 hops of a landmark) — feeds `neighborhood_function`
+    * and `harmonic_centrality`.
+    */
+  private val LandmarkBfsCte: String = {
+    val rounds = (1 to 3).map { k =>
+      s"""b$k AS MATERIALIZED (
+         |  SELECT seed, id, MIN(dist) AS dist FROM (
+         |    SELECT seed, id, dist FROM b${k - 1}
+         |    UNION ALL
+         |    SELECT p.seed, u.dst AS id, p.dist + 1 AS dist
+         |    FROM und u JOIN b${k - 1} p ON p.id = u.src)
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |$E
+       |),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)),
+       |verts AS MATERIALIZED (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+       |b0 AS MATERIALIZED (
+       |  SELECT id AS seed, id, 0 AS dist FROM verts WHERE id % 599 = 0),
+       |$rounds""".stripMargin
+  }
+
   /** Fixed iteration counts for the oracle-checkable unrolled variants. */
   val PrIters  = 20
   val CcIters  = 20 // must exceed the undirected graph diameter (tested)
@@ -152,6 +182,15 @@ object SparkEntry {
       graft.algos.Neighborhood.landmarkBalls(s, e,
         LinkGraph.vertices(e).filter(col("id") % 599 === 0), maxT = 3)
         .orderBy(col("seed"), col("t"))
+    }),
+    "harmonic_centrality" -> ((s, dir) => {
+      // bounded-radius harmonic centrality of the landmarks, ×lcm(1..3)=6
+      // so every value is integer-exact in both engines
+      val e = LinkGraph.edges(s, dir)
+      val balls = graft.algos.Neighborhood.landmarkBalls(s, e,
+        LinkGraph.vertices(e).filter(col("id") % 599 === 0), maxT = 3)
+      graft.algos.Neighborhood.harmonicExactX(balls, maxT = 3)
+        .orderBy(col("seed"))
     }),
     "kcores" -> ((s, dir) =>
       graft.algos.KCores.coreness(s, LinkGraph.edges(s, dir))
@@ -887,35 +926,19 @@ object SparkEntry {
     "bond_percolation" ->
       graft.algos.GraphOps.bondPercolationOracleSql(E, 0.5),
 
-    "neighborhood_function" -> {
-      // 3 unrolled min-dist BFS closures from the id%599 landmark set over
-      // the undirected view, then cumulative ball sizes for every t in 0..3
-      val rounds = (1 to 3).map { k =>
-        s"""b$k AS MATERIALIZED (
-           |  SELECT seed, id, MIN(dist) AS dist FROM (
-           |    SELECT seed, id, dist FROM b${k - 1}
-           |    UNION ALL
-           |    SELECT p.seed, u.dst AS id, p.dist + 1 AS dist
-           |    FROM und u JOIN b${k - 1} p ON p.id = u.src)
-           |  GROUP BY 1, 2)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH edges AS MATERIALIZED (
-         |$E
-         |),
-         |und AS MATERIALIZED (
-         |  SELECT DISTINCT src, dst FROM (
-         |    SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)),
-         |verts AS MATERIALIZED (
-         |  SELECT DISTINCT id FROM (
-         |    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
-         |b0 AS MATERIALIZED (
-         |  SELECT id AS seed, id, 0 AS dist FROM verts WHERE id % 599 = 0),
-         |$rounds
+    "neighborhood_function" ->
+      s"""$LandmarkBfsCte
          |SELECT b.seed, CAST(t.t AS BIGINT) AS t,
          |       CAST(COUNT(*) AS BIGINT) AS n_reached
          |FROM b3 b, range(0, 4) t(t) WHERE b.dist <= t.t
-         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-    },
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "harmonic_centrality" ->
+      s"""$LandmarkBfsCte
+         |SELECT seed, CAST(SUM(CASE dist WHEN 1 THEN 6 WHEN 2 THEN 3
+         |                                WHEN 3 THEN 2 ELSE 0 END) AS BIGINT)
+         |         AS harmonic_x6
+         |FROM b3 WHERE dist > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "khop_subgraph" -> {
       // 3 unrolled BFS rounds from seed CUST+1 over the undirected view,

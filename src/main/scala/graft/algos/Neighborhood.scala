@@ -153,6 +153,28 @@ object Neighborhood {
     */
   def hyperBall(spark: SparkSession, edges: DataFrame, logM: Int,
       maxT: Int): DataFrame = {
+    val m = 1 << logM
+    registerStates(spark, edges, logM, maxT).map { case (tt, st) =>
+      st.agg(sum(estimateCol(col("regs"), m)).as("nf_est"))
+        .select(lit(tt).as("t"), col("nf_est"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Per-vertex ball-size estimates (id, t, est) for t in 0..maxT — the
+    * series behind [[harmonicEstimate]] (and centrality families generally:
+    * closeness/Lin need exactly this table).
+    */
+  def hyperBallSeries(spark: SparkSession, edges: DataFrame, logM: Int,
+      maxT: Int): DataFrame = {
+    val m = 1 << logM
+    registerStates(spark, edges, logM, maxT).map { case (tt, st) =>
+      st.select(col("id"), lit(tt.toLong).as("t"),
+        estimateCol(col("regs"), m).as("est"))
+    }.reduce(_ unionAll _)
+  }
+
+  private def registerStates(spark: SparkSession, edges: DataFrame,
+      logM: Int, maxT: Int): Seq[(Int, DataFrame)] = {
     import spark.implicits._
     require(logM >= 4 && logM <= 16, s"logM=$logM out of range")
     val m = 1 << logM
@@ -194,9 +216,57 @@ object Neighborhood {
       snaps += ((t, state)) // stable state repeats once the frontier empties
       t += 1
     }
-    snaps.map { case (tt, st) =>
-      st.agg(sum(estimateCol(col("regs"), m)).as("nf_est"))
-        .select(lit(tt).as("t"), col("nf_est"))
-    }.reduce(_ unionAll _)
+    snaps.toSeq
+  }
+
+  /** Effective diameter at quantile `alpha` from a neighborhood-function
+    * table (t, nf_est): the smallest t whose N(t) reaches alpha of the
+    * plateau (non-interpolated integer variant; Boldi-Vigna interpolate
+    * between t-1 and t). Returns one row (eff_diameter).
+    */
+  def effectiveDiameter(nf: DataFrame, alpha: Double = 0.9): DataFrame = {
+    val mx = nf.agg(max("nf_est").as("mx"))
+    nf.crossJoin(broadcast(mx))
+      .filter(col("nf_est") >= col("mx") * alpha)
+      .agg(min("t").as("eff_diameter"))
+  }
+
+  /** lcm(1..n) — the integer weight base that makes bounded-radius harmonic
+    * centrality exactly representable (c·lcm is a sum of integer products).
+    */
+  def lcmTo(n: Int): Long = {
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (1L to n.toLong).reduce((a, b) => a / gcd(a, b) * b)
+  }
+
+  /** EXACT bounded-radius harmonic centrality of the landmark set, scaled
+    * by lcm(1..maxT) so every value is an integer both engines compute
+    * identically: harmonic_x(seed) = Σ_{t=1..maxT} cnt_t · lcm/t, where
+    * cnt_t = |{v : dist(seed,v) = t}| comes from differencing the
+    * cumulative [[landmarkBalls]] output. (Unscaled harmonic = x / lcm.)
+    */
+  def harmonicExactX(balls: DataFrame, maxT: Int): DataFrame = {
+    val lcm = lcmTo(maxT)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("seed").orderBy("t")
+    balls.withColumn("prev", lag("n_reached", 1).over(w))
+      .filter(col("t") > 0)
+      .groupBy("seed")
+      .agg(sum((col("n_reached") - col("prev")) * (lit(lcm) / col("t"))
+        .cast("long")).as(s"harmonic_x$lcm"))
+  }
+
+  /** Estimated harmonic centrality per vertex from a [[hyperBallSeries]]
+    * table: c(v) ≈ Σ_t (est_t - est_{t-1})/t. Ball estimates are clamped
+    * monotone (the raw/linear-counting branch switch can dip slightly).
+    */
+  def harmonicEstimate(series: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("t")
+    series.withColumn("prev", lag("est", 1).over(w))
+      .filter(col("t") > 0)
+      .groupBy("id")
+      .agg(sum(greatest(col("est") - col("prev"), lit(0.0)) / col("t"))
+        .as("harmonic"))
   }
 }

@@ -76,6 +76,50 @@ class NeighborhoodSpec extends AnyFunSuite {
       s"t=1 est=${nf(1)} exact=$exact1")
   }
 
+  test("effectiveDiameter picks the analytic threshold on exact cycle NF") {
+    // C_40: N(t) = 40·min(2t+1, 40) → plateau 1600; 0.9 quantile = 1440,
+    // first reached at t=18 (N(18) = 1480)
+    val nf = (0 to 25).map(t => (t.toLong, 40.0 * math.min(2 * t + 1, 40)))
+      .toDF("t", "nf_est")
+    val d = Neighborhood.effectiveDiameter(nf, alpha = 0.9)
+      .as[Long].collect().head
+    assert(d == 18L)
+    // end-to-end on estimated NF: within ±1 of the analytic answer
+    val est = Neighborhood.hyperBall(spark, cycleEdges(40), logM = 10, maxT = 25)
+    val dEst = Neighborhood.effectiveDiameter(est, alpha = 0.9)
+      .as[Long].collect().head
+    assert(math.abs(dEst - 18L) <= 1L, s"estimated eff diameter $dEst")
+  }
+
+  test("harmonicExactX matches hand-computed path-graph centralities") {
+    // P_5 = 1-2-3-4-5, maxT=2, lcm(1,2)=2: c_x2 = 2·|dist1| + 1·|dist2|
+    val e = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0), (4L, 5L, 1.0))
+      .toDF("src", "dst", "weight")
+    val balls = Neighborhood.landmarkBalls(spark, e,
+      Seq(1L, 2L, 3L).toDF("id"), maxT = 2)
+    val got = Neighborhood.harmonicExactX(balls, maxT = 2)
+      .as[(Long, Long)].collect().toMap
+    // c(1): d1={2}, d2={3} → 2+1 = 3;  c(2): d1={1,3}, d2={4} → 4+1 = 5
+    // c(3): d1={2,4}, d2={1,5} → 4+2 = 6
+    assert(got == Map(1L -> 3L, 2L -> 5L, 3L -> 6L))
+  }
+
+  test("harmonicEstimate tracks exact harmonic centrality on a path") {
+    val e = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0), (4L, 5L, 1.0))
+      .toDF("src", "dst", "weight")
+    val series = Neighborhood.hyperBallSeries(spark, e, logM = 10, maxT = 4)
+    val got = Neighborhood.harmonicEstimate(series)
+      .as[(Long, Double)].collect().toMap
+    val exact = Map( // Σ 1/d over the other four vertices
+      1L -> (1.0 + 1.0 / 2 + 1.0 / 3 + 1.0 / 4),
+      2L -> (2.0 + 1.0 / 2 + 1.0 / 3),
+      3L -> (2.0 + 2.0 / 2),
+      4L -> (2.0 + 1.0 / 2 + 1.0 / 3),
+      5L -> (1.0 + 1.0 / 2 + 1.0 / 3 + 1.0 / 4))
+    for ((id, ex) <- exact)
+      assert(math.abs(got(id) - ex) < 0.1, s"id=$id est=${got(id)} exact=$ex")
+  }
+
   test("hyperBall tracks exact landmark-average ball growth on the link graph") {
     // cross-check on the real sf0.001 graph: hyperBall's N(t)/N(0) growth
     // profile vs the EXACT all-vertex neighborhood function at t <= 2
