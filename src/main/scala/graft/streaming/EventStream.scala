@@ -40,6 +40,21 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value_q4"))
 
+  /** Streaming ingest dedup for a document pipeline: drop exact duplicates
+    * (by content hash) arriving within the watermark delay of the original —
+    * the streaming counterpart of [[graft.text.Dedup.exact]].
+    * `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    * watermark passes the key's expiry, so dedup state is bounded by
+    * delay × ingest rate instead of growing with corpus lifetime — the only
+    * viable shape for continuous ingest at 100 TB scale (an unbounded
+    * `dropDuplicates` would hold every hash ever seen).
+    */
+  def dedupIngest(docs: DataFrame, delay: String = "2 hours"): DataFrame =
+    docs.withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("text_md5", md5(col("text")))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("text_md5")
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
   final case class SessionAgg(user_id: Long, events: Long, total: Double)

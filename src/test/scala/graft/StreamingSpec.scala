@@ -117,6 +117,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ingest dedup: in-watermark dups dropped, state expires") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    val ms = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = ms.toDF().toDF("ts", "doc_id", "text")
+    val q = EventStream.dedupIngest(docs, "1 hour").writeStream
+      .outputMode("append").format("memory").queryName("dedup_ingest").start()
+    try {
+      ms.addData((t(10, 0), 1L, "A"), (t(10, 0), 3L, "B"))
+      q.processAllAvailable() // both firsts kept
+      ms.addData((t(10, 10), 2L, "A"))
+      q.processAllAvailable() // in-watermark duplicate of A: dropped
+      ms.addData((t(20, 0), 4L, "C"))
+      q.processAllAvailable() // watermark -> 19:00; A's state (10:00+1h) evicted
+      ms.addData((t(20, 30), 5L, "A"))
+      q.processAllAvailable() // same content after expiry: kept again
+      val kept = spark.table("dedup_ingest")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 3L, 4L, 5L), s"kept=$kept")
+    } finally q.stop()
+  }
+
   test("rate source smoke: continuous micro-batch trigger (non-AvailableNow)") {
     val stream = spark.readStream.format("rate")
       .option("rowsPerSecond", "100").load()
