@@ -192,6 +192,16 @@ object SparkEntry {
       graft.algos.Neighborhood.harmonicExactX(balls, maxT = 3)
         .orderBy(col("seed"))
     }),
+    "graph_neighbor_sample" -> ((s, dir) => {
+      // GraphSAGE-style fan-out sampling from the landmark seed set
+      val e = LinkGraph.edges(s, dir)
+      graft.algos.Sampling.neighborSample(s, e,
+        LinkGraph.vertices(e).filter(col("id") % 599 === 0), Seq(3, 2))
+        .orderBy(col("hop"), col("src"), col("dst"))
+    }),
+    "graph_negative_sample" -> ((s, dir) =>
+      graft.algos.Sampling.negativeSample(s, LinkGraph.edges(s, dir), k = 3)
+        .orderBy(col("src"), col("neg_rank"))),
     "kcores" -> ((s, dir) =>
       graft.algos.KCores.coreness(s, LinkGraph.edges(s, dir))
         .orderBy(col("id"))),
@@ -939,6 +949,69 @@ object SparkEntry {
          |                                WHEN 3 THEN 2 ELSE 0 END) AS BIGINT)
          |         AS harmonic_x6
          |FROM b3 WHERE dist > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "graph_neighbor_sample" -> {
+      // same Lehmer ranking per hop (seed 42+h), dst tie-break; hop-2
+      // frontier = distinct hop-1 sample targets
+      def hopSql(srcSet: String, seedH: Long, k: Int) =
+        s"""SELECT src, dst FROM (
+           |  SELECT u.src, u.dst, ROW_NUMBER() OVER (PARTITION BY u.src
+           |    ORDER BY ((u.src % 2147483647) * 2654435761
+           |              + (u.dst % 2147483647) * 40503 + $seedH)
+           |             % 2147483647 * 48271 % 2147483647, u.dst) AS rn
+           |  FROM und u JOIN $srcSet f ON f.src = u.src) WHERE rn <= $k"""
+          .stripMargin
+      s"""WITH edges AS MATERIALIZED (
+         |$E
+         |),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)),
+         |verts AS MATERIALIZED (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+         |f0 AS (SELECT id AS src FROM verts WHERE id % 599 = 0),
+         |s1 AS MATERIALIZED (${hopSql("f0", 43L, 3)}),
+         |f1 AS (SELECT DISTINCT dst AS src FROM s1),
+         |s2 AS MATERIALIZED (${hopSql("f1", 44L, 2)})
+         |SELECT CAST(1 AS BIGINT) AS hop, src, dst FROM s1
+         |UNION ALL SELECT CAST(2 AS BIGINT) AS hop, src, dst FROM s2
+         |ORDER BY hop, src, dst""".stripMargin
+    },
+
+    "graph_negative_sample" ->
+      s"""WITH edges AS MATERIALIZED (
+         |$E
+         |),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)),
+         |verts AS MATERIALIZED (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+         |idx AS MATERIALIZED (
+         |  SELECT id AS vid,
+         |         CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS BIGINT) AS vidx
+         |  FROM verts),
+         |nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM verts),
+         |props AS MATERIALIZED (
+         |  SELECT s.src, g.i,
+         |    ((s.src % 2147483647) * 2654435761
+         |     + (g.i % 2147483647) * 40503 + 42)
+         |    % 2147483647 * 48271 % 2147483647 % (SELECT n FROM nv) AS vidx
+         |  FROM (SELECT DISTINCT src FROM edges) s, range(0, 12) g(i)),
+         |cand AS MATERIALIZED (
+         |  SELECT p.src, p.i, x.vid AS dst
+         |  FROM props p JOIN idx x USING (vidx) WHERE x.vid <> p.src),
+         |nonedge AS MATERIALIZED (
+         |  SELECT c.src, c.dst, c.i FROM cand c
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM und u WHERE u.src = c.src AND u.dst = c.dst)),
+         |dedup AS (SELECT src, dst, MIN(i) AS i FROM nonedge GROUP BY 1, 2)
+         |SELECT src, dst,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY i) AS BIGINT)
+         |    AS neg_rank
+         |FROM dedup QUALIFY neg_rank <= 3 ORDER BY src, neg_rank""".stripMargin,
 
     "khop_subgraph" -> {
       // 3 unrolled BFS rounds from seed CUST+1 over the undirected view,

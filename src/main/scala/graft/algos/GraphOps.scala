@@ -24,13 +24,20 @@ object GraphOps {
     * silently wrapped negative above src ≈ 3.5e9, biasing the keep decision
     * in Spark while DuckDB errored).
     */
-  def edgeKeepFrac(src: org.apache.spark.sql.Column,
-      dst: org.apache.spark.sql.Column, seed: Long): org.apache.spark.sql.Column = {
+  /** The integer Lehmer core of [[edgeKeepFrac]] — also the deterministic
+    * ranking key for the sampling operators ([[Sampling]]): uniform in
+    * [0, P), identical arithmetic in Spark and DuckDB.
+    */
+  def lehmerHash(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column, seed: Long): org.apache.spark.sql.Column = {
     val P = 2147483647L
-    (((src % P) * lit(2654435761L) + (dst % P) * lit(40503L) + lit(seed % P))
-      % P * 48271L % P)
-      .cast("double") / P.toDouble
+    ((a % P) * lit(2654435761L) + (b % P) * lit(40503L) + lit(seed % P)) %
+      P * 48271L % P
   }
+
+  def edgeKeepFrac(src: org.apache.spark.sql.Column,
+      dst: org.apache.spark.sql.Column, seed: Long): org.apache.spark.sql.Column =
+    lehmerHash(src, dst, seed).cast("double") / 2147483647L.toDouble
 
   def bondPercolation(spark: SparkSession, edges: DataFrame, p: Double,
       seed: Long = 42L): DataFrame = {
