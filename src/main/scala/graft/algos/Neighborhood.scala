@@ -269,4 +269,24 @@ object Neighborhood {
       .agg(sum(greatest(col("est") - col("prev"), lit(0.0)) / col("t"))
         .as("harmonic"))
   }
+
+  /** Lin's index estimate per vertex (the closeness variant that is
+    * well-defined on disconnected graphs): reach² / Σ_u dist(v,u), where
+    * reach = |ball(v, maxT)| and Σ dist = Σ_t t·(est_t − est_{t−1}) —
+    * both read off the same [[hyperBallSeries]] table. Vertices with no
+    * within-radius neighbors get the conventional value 1.
+    */
+  def linIndexEstimate(series: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy("t")
+    series.withColumn("prev", lag("est", 1).over(w))
+      .filter(col("t") > 0)
+      .groupBy("id")
+      .agg(max("est").as("reach"),
+        sum(greatest(col("est") - col("prev"), lit(0.0)) * col("t"))
+          .as("sumdist"))
+      .select(col("id"),
+        when(col("sumdist") > 0, col("reach") * col("reach") / col("sumdist"))
+          .otherwise(lit(1.0)).as("lin"))
+  }
 }

@@ -120,6 +120,20 @@ class NeighborhoodSpec extends AnyFunSuite {
       assert(math.abs(got(id) - ex) < 0.1, s"id=$id est=${got(id)} exact=$ex")
   }
 
+  test("linIndexEstimate tracks exact Lin's index on a path") {
+    val e = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 4L, 1.0), (4L, 5L, 1.0))
+      .toDF("src", "dst", "weight")
+    val series = Neighborhood.hyperBallSeries(spark, e, logM = 10, maxT = 4)
+    val got = Neighborhood.linIndexEstimate(series)
+      .as[(Long, Double)].collect().toMap
+    val exact = Map( // 25 / Σ_u dist(v,u)
+      1L -> 25.0 / 10, 2L -> 25.0 / 7, 3L -> 25.0 / 6,
+      4L -> 25.0 / 7, 5L -> 25.0 / 10)
+    for ((id, ex) <- exact)
+      assert(math.abs(got(id) - ex) / ex < 0.1,
+        s"id=$id est=${got(id)} exact=$ex")
+  }
+
   test("hyperBall tracks exact landmark-average ball growth on the link graph") {
     // cross-check on the real sf0.001 graph: hyperBall's N(t)/N(0) growth
     // profile vs the EXACT all-vertex neighborhood function at t <= 2
