@@ -53,6 +53,9 @@ object SparkEntry {
   val PrIters  = 20
   val CcIters  = 20 // must exceed the undirected graph diameter (tested)
   val LpaIters = 5
+  /** PPR seed set: three customers (present at every SF ≥ 0.001). */
+  val PprSeeds = Seq(LinkGraph.CUST + 1L, LinkGraph.CUST + 2L,
+    LinkGraph.CUST + 3L)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * "Top-20 PageRank vertices of the derived link graph" — the exact query
@@ -107,6 +110,15 @@ object SparkEntry {
       // iteration count needn't be known in advance
       PageRank.run(s, LinkGraph.edges(s, dir), tol = 1e-6, maxIters = 200)
         .state.select(col("id"),
+          floor(col("rank") * 1e8 + 0.5).cast("long").as("rank_q8"))
+        .orderBy(col("id"))
+    }),
+    "pagerank_personalized" -> ((s, dir) => {
+      // random-walk-with-restart proximity to a 3-customer seed set; ranks
+      // are ≤ 0.15-scale (total mass ≤ 1), so q8 keeps the small-proximity
+      // tail distinguishable while staying far above float-sum noise
+      PageRank.personalizedFixed(s, LinkGraph.edges(s, dir), PprSeeds, PrIters)
+        .select(col("id"),
           floor(col("rank") * 1e8 + 0.5).cast("long").as("rank_q8"))
         .orderBy(col("id"))
     }),
@@ -624,6 +636,40 @@ object SparkEntry {
         .toDF("graph_id", "within_radius")
     }),
 
+    "frap_monitor_stream" -> ((s, _) => {
+      // the deployment mode (myapps/server/): learn a frozen profile, then
+      // classify provenance graphs as they ARRIVE — one whole graph per
+      // streamed file, verdicts per micro-batch via the distributed radius
+      // test. Planted expectation identical to frap_monitor_scale (stream ≡
+      // batch for per-graph classification).
+      import org.apache.spark.sql.functions.{col => c}
+      val edges = Fixtures.persist(s, "prov_corpus_12",
+        graft.frap.ProvGen.corpus(s, nNormal = 11, nAbnormal = 1))
+      val learn = (0 until 10).map(i => f"normal-$i%03d")
+      val counts = graft.frap.WLRelabel.kernelCounts(
+        graft.frap.WLRelabel.run(
+          edges.filter(c("graph_id").isInCollection(learn)), 4)).cache()
+      val dict = graft.frap.Kernels.dictionary(counts).cache()
+      val dsize = dict.count().toInt
+      val arr = graft.frap.Kernels.countArrays(counts, dict, dsize).collect()
+        .map(r => r.getString(0) -> r.getSeq[Int](1).toArray).toMap
+      val profile = graft.frap.Frap.learnProfile(learn.map(arr(_)).toVector)
+      counts.unpersist(false)
+      // one whole graph per file: the server experiment's arrival unit
+      val streamDir = java.nio.file.Files
+        .createTempDirectory("graft-stream-prov").toString
+      Seq("normal-010", "bad-000").foreach { g =>
+        edges.filter(c("graph_id") === g).coalesce(1)
+          .write.mode("append").parquet(streamDir)
+      }
+      val out = graft.frap.FrapPipeline
+        .monitorStream(s, streamDir, profile, dict, dsize, iters = 4)
+        .select(c("graph_id"), c("within_radius"))
+        .orderBy("graph_id")
+      dict.unpersist(false)
+      out
+    }),
+
     // ---- multimodal plumbing (synthetic binary media, persisted so the
     // oracle can recompute the features from the same raw bytes) ------------
     "multimodal_features" -> ((s, dir) => {
@@ -665,6 +711,8 @@ object SparkEntry {
          |GROUP BY id ORDER BY id""".stripMargin,
     "pagerank_iters" -> PageRank.oracleSql(E, PrIters, 5),
     "pagerank_converged" -> PageRank.convergedOracleSql(E, 1e-6, 200, 8),
+    "pagerank_personalized" ->
+      PageRank.personalizedOracleSql(E, PprSeeds, PrIters, 8),
     "pagerank_top20" ->
       // reuse the unrolled CTE chain, change the final projection to top-20
       PageRank.oracleSql(E, PrIters, 5).replace(
@@ -923,6 +971,17 @@ object SparkEntry {
     "frap_monitor_scale" ->
       // planted expectation for the held-out pair: inside the learned
       // radius iff no socket-connect edges (edge_type=3)
+      s"""WITH corpus AS (SELECT * FROM ${Fixtures.sqlOf("prov_corpus_12")}),
+         |planted AS (
+         |  SELECT graph_id,
+         |         SUM(CASE WHEN edge_type = 3 THEN 1 ELSE 0 END) AS n_connect
+         |  FROM corpus WHERE graph_id IN ('normal-010', 'bad-000')
+         |  GROUP BY 1)
+         |SELECT graph_id, (n_connect = 0) AS within_radius
+         |FROM planted ORDER BY graph_id""".stripMargin,
+    "frap_monitor_stream" ->
+      // stream ≡ batch for per-graph classification: the planted expectation
+      // is the same as frap_monitor_scale's
       s"""WITH corpus AS (SELECT * FROM ${Fixtures.sqlOf("prov_corpus_12")}),
          |planted AS (
          |  SELECT graph_id,

@@ -143,6 +143,100 @@ object PageRank {
        |FROM r$iters ORDER BY id""".stripMargin
   }
 
+  /** Personalized PageRank (random walk with restart into a seed set S):
+    *
+    *   r_0(v) = 1/|S| · [v ∈ S]
+    *   r_t(v) = 0.15/|S| · [v ∈ S] + 0.85 · Σ_{(u,v) ∈ E} r_{t-1}(u)/outdeg(u)
+    *
+    * The fixpoint the reference's random-walk app approximates by simulation
+    * (/root/reference/example_apps/randomwalks.cpp:45-90: visit frequencies
+    * from a source set with restart — ≈ PPR up to normalization) computed
+    * exactly as power iteration: teleport mass returns to the seeds instead
+    * of spreading uniformly, so ranks measure graph proximity to S (the
+    * seed-relevance expansion used to rank crawl/training corpora from a
+    * trusted seed list). Dangling vertices keep their rank, as in [[run]].
+    *
+    * Scale shape is identical to [[run]] — the static co-partitioned share
+    * table, one gather shuffle per superstep; the seed indicator is a
+    * broadcast literal `isin` (personalization sets are small by definition;
+    * a corpus-sized S is just global PageRank and belongs in [[run]]).
+    */
+  def personalizedFixed(
+      spark: SparkSession,
+      edges: DataFrame,
+      seeds: Seq[Long],
+      iters: Int): DataFrame = {
+    require(seeds.nonEmpty, "personalized PageRank needs a non-empty seed set")
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sh = shares(edges).repartition(parts, col("src"))
+      .sortWithinPartitions("src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count()
+
+    val seedMass = 1.0 / seeds.size
+    def seedRank(id: org.apache.spark.sql.Column) =
+      when(id.isin(seeds: _*), lit(seedMass)).otherwise(lit(0.0))
+
+    val init = LinkGraph.vertices(edges).repartition(parts, col("id"))
+      .select(col("id"), seedRank(col("id")).as("rank"),
+        lit(Double.MaxValue).as("delta"))
+
+    def step(state: DataFrame, iter: Int): DataFrame = {
+      val scattered = state.select(col("id"), col("rank"))
+        .join(sh, state("id") === sh("src"))
+      val sums = scattered.groupBy(col("dst"))
+        .agg(sum(col("rank") * col("share")).as("insum"))
+      val prev = state.select(col("id"), col("rank").as("prev"))
+      prev.join(sums, prev("id") === sums("dst"), "left")
+        .select(
+          prev("id"),
+          (lit(Teleport) * seedRank(prev("id")) +
+            lit(Damping) * coalesce(col("insum"), lit(0.0))).as("rank"),
+          col("prev"))
+        .withColumn("delta", abs(col("rank") - col("prev")))
+        .drop("prev")
+    }
+
+    val res = Superstep.run(init, step _, tol = -1.0, maxIters = iters,
+      store = new LocalStore)
+    sh.unpersist(false)
+    res.state.select("id", "rank")
+  }
+
+  /** Unrolled ANSI-SQL oracle for [[personalizedFixed]] (DuckDB-runnable). */
+  def personalizedOracleSql(edgesSql: String, seeds: Seq[Long], iters: Int,
+      roundTo: Int): String = {
+    val seedList = seeds.mkString(", ")
+    val seedMass = s"(1.0 / ${seeds.size})"
+    val iterCtes = (1 to iters).map { k =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT v.id,
+         |         CAST($Teleport * (CASE WHEN v.id IN ($seedList)
+         |                           THEN $seedMass ELSE 0.0 END)
+         |              + $Damping * COALESCE(s.x, 0.0) AS DOUBLE) AS rank
+         |  FROM verts v LEFT JOIN (
+         |    SELECT sh.dst AS id, SUM(r.rank * sh.share) AS x
+         |    FROM share sh JOIN r${k - 1} r ON r.id = sh.src GROUP BY 1
+         |  ) s ON s.id = v.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |$edgesSql
+       |),
+       |verts AS MATERIALIZED (
+       |  SELECT DISTINCT id FROM (
+       |    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+       |),
+       |outdeg AS (SELECT src AS id, COUNT(*) AS od FROM edges GROUP BY 1),
+       |share AS MATERIALIZED (
+       |  SELECT e.src, e.dst, 1.0 / o.od AS share
+       |  FROM edges e JOIN outdeg o ON o.id = e.src),
+       |r0 AS (SELECT id, CAST(CASE WHEN id IN ($seedList) THEN $seedMass
+       |                       ELSE 0.0 END AS DOUBLE) AS rank FROM verts),
+       |$iterCtes
+       |SELECT id, CAST(FLOOR(rank * 1e$roundTo + 0.5) AS BIGINT) AS rank_q$roundTo
+       |FROM r$iters ORDER BY id""".stripMargin
+  }
+
   /** DuckDB oracle for [[run]] (the *convergence-stopped* variant): a
     * recursive CTE that replicates the Superstep stopping rule exactly —
     * produce iteration k+1 only while max(delta_k) > tol, cap at maxIters —

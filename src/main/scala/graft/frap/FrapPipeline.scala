@@ -215,6 +215,42 @@ object FrapPipeline {
         coalesce(col("ab"), lit(false)).as("abnormal"), col("min_distance"))
   }
 
+  /** Streaming FRAP monitoring — the reference's deployment mode
+    * (/root/reference/myapps/server/: a CamFlow-tracked service emits one
+    * provenance graph per request; FRAP classifies each against a frozen
+    * learned profile as it arrives). Here provenance edges arrive as a file
+    * stream, one whole graph per file (the server experiment's delivery
+    * unit: a complete PROV document per request); every micro-batch is
+    * WL-relabeled under the frozen dictionary and classified with the
+    * distributed radius test.
+    *
+    * Stream ≡ batch by construction: WL labels and the radius test are
+    * per-graph computations, so batch boundaries cannot change a verdict —
+    * [[monitorAtScale]] over the full corpus yields identical rows
+    * (StreamingSpec asserts it). The per-batch collect is one verdict row
+    * per arriving graph — the stream's output, not a scale hazard (a
+    * production deployment would `writeStream` the same rows to a sink
+    * table).
+    *
+    * @return (graph_id, within_radius, min_distance) in arrival order
+    */
+  def monitorStream(spark: SparkSession, provParquetPath: String,
+      profile: Frap.Profile, dict: DataFrame, dictSize: Int,
+      iters: Int): DataFrame = {
+    import spark.implicits._
+    val rows = graft.streaming.EventStream
+      .mapEdgeBatches(spark, provParquetPath, { batch =>
+        val counts = WLRelabel.kernelCounts(WLRelabel.run(batch, iters))
+        monitorAtScale(spark, counts, profile, dict, dictSize)
+          .collect()
+          .map(r => (r.getString(0), r.getBoolean(1),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+          .toSeq
+      })
+      .flatten
+    rows.toDF("graph_id", "within_radius", "min_distance")
+  }
+
   /** Learn a profile from `learnIds` graphs and classify `monitorIds`. */
   def run(edges: DataFrame, learnIds: Seq[String], monitorIds: Seq[String],
       iters: Int = 4): Seq[Verdict] = {

@@ -97,6 +97,32 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Micro-batch map core: stream `edgeParquetPath` one file per trigger and
+    * run `perBatch` on each batch *independently* (no accumulation) — the
+    * per-document ingest shape, where each arriving file is a self-contained
+    * unit (e.g. one provenance graph per request, the CamFlow server
+    * experiment's delivery unit). Returns the per-batch results in arrival
+    * order.
+    */
+  def mapEdgeBatches[A](spark: SparkSession, edgeParquetPath: String,
+      perBatch: DataFrame => A): Seq[A] = {
+    val schema = spark.read.parquet(edgeParquetPath).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(edgeParquetPath)
+    val results = scala.collection.mutable.ArrayBuffer.empty[A]
+    val q = stream.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        results += perBatch(batch.toDF())
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    results.toSeq
+  }
+
   /** Evolving-graph ingest core: stream edge rows in micro-batches, fold
     * each batch into an accumulating edge table (lineage-truncated per batch
     * — the plan stays a constant-size LogicalRDD instead of an ever-growing
@@ -107,25 +133,13 @@ object EventStream {
     */
   def foldEdgeBatches[A](spark: SparkSession, edgeParquetPath: String,
       perBatch: DataFrame => A): Seq[A] = {
-    val schema = spark.read.parquet(edgeParquetPath).schema
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1").parquet(edgeParquetPath)
-    val results = scala.collection.mutable.ArrayBuffer.empty[A]
     var acc: Option[DataFrame] = None
-    val q = stream.writeStream
-      .outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val next = acc.map(_.unionAll(batch.toDF())).getOrElse(batch.toDF())
-          .localCheckpoint(true)
-        acc = Some(next)
-        results += perBatch(next)
-        ()
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.processAllAvailable()
-    q.stop()
-    results.toSeq
+    mapEdgeBatches(spark, edgeParquetPath, { batch =>
+      val next = acc.map(_.unionAll(batch)).getOrElse(batch)
+        .localCheckpoint(true)
+      acc = Some(next)
+      perBatch(next)
+    })
   }
 
   /** Evolving-graph ingest returning the per-batch row count of `analytic`

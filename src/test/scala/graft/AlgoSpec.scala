@@ -34,6 +34,45 @@ class AlgoSpec extends AnyFunSuite {
     assert(maxErr <= 2e-6, s"max |Δ| = $maxErr")
   }
 
+  test("personalized pagerank matches the local seed-teleport recurrence") {
+    val seeds = Seq(LinkGraph.CUST + 1L, LinkGraph.CUST + 2L, LinkGraph.CUST + 3L)
+    val iters = 6
+    val got = PageRank.personalizedFixed(spark, edgesDf, seeds, iters)
+      .as[(Long, Double)].collect().toMap
+    // local oracle: identical recurrence iterated on the driver
+    val verts = edgePairs.flatMap(e => Seq(e._1, e._2)).distinct
+    val outDeg = edgePairs.groupBy(_._1).map { case (s, es) => s -> es.size }
+    val seedSet = seeds.toSet
+    val sm = 1.0 / seeds.size
+    var rank = verts.map(v => v -> (if (seedSet(v)) sm else 0.0)).toMap
+    for (_ <- 1 to iters) {
+      val in = scala.collection.mutable.Map.empty[Long, Double]
+        .withDefaultValue(0.0)
+      edgePairs.foreach { case (s, d) =>
+        in(d) += rank(s) / outDeg(s)
+      }
+      rank = verts.map { v =>
+        v -> (0.15 * (if (seedSet(v)) sm else 0.0) + 0.85 * in(v))
+      }.toMap
+    }
+    assert(got.keySet == rank.keySet)
+    val maxErr = got.map { case (v, r) => math.abs(r - rank(v)) }.max
+    assert(maxErr <= 1e-12, s"max |Δ| = $maxErr")
+    // teleport returns only to seeds: total mass never exceeds 1, and a
+    // vertex unreachable from the seed set holds exactly zero rank
+    assert(got.values.sum <= 1.0 + 1e-9)
+    val reach = scala.collection.mutable.Set(seeds: _*)
+    val adj = edgePairs.groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    var frontier = seeds.toSet
+    while (frontier.nonEmpty) {
+      frontier = frontier.flatMap(v => adj.getOrElse(v, Nil)).diff(reach.toSet)
+      reach ++= frontier
+    }
+    val unreachable = got.keySet.diff(reach.toSet)
+    assert(unreachable.nonEmpty, "test graph should have unreachable vertices")
+    assert(unreachable.forall(v => got(v) == 0.0))
+  }
+
   test("pagerank: dangling vertices keep teleport-only rank floor") {
     // region vertices have no out-edges; their rank must still accumulate
     // in-contributions (no redistribution of dangling mass).

@@ -141,6 +141,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming FRAP monitor: per-arrival verdicts equal the batch radius test") {
+    import graft.frap.{Frap, FrapPipeline, Kernels, ProvGen, WLRelabel}
+    val edges = ProvGen.corpus(spark, nNormal = 8, nAbnormal = 1).cache()
+    val learn = (0 until 6).map(i => f"normal-$i%03d")
+    val monitor = Seq("normal-006", "normal-007", "bad-000")
+    val counts = WLRelabel.kernelCounts(WLRelabel.run(edges, 3)).cache()
+    val dict = Kernels.dictionary(
+      counts.filter(col("graph_id").isInCollection(learn))).cache()
+    val dsize = dict.count().toInt
+    val arr = Kernels.countArrays(
+      counts.filter(col("graph_id").isInCollection(learn)), dict, dsize)
+      .collect().map(r => r.getString(0) -> r.getSeq[Int](1).toArray).toMap
+    val profile = Frap.learnProfile(learn.map(arr(_)).toVector)
+    // one whole graph per file: each arrives as its own micro-batch
+    val dir = java.nio.file.Files.createTempDirectory("graft-prov-stream")
+      .toString
+    monitor.foreach { g =>
+      edges.filter(col("graph_id") === g).coalesce(1)
+        .write.mode("append").parquet(dir)
+    }
+    val streamed = FrapPipeline
+      .monitorStream(spark, dir, profile, dict, dsize, iters = 3)
+      .as[(String, Boolean, Option[Double])].collect()
+    // three arrivals → three verdicts, each graph classified exactly once
+    assert(streamed.length == 3)
+    assert(streamed.map(_._1).toSet == monitor.toSet)
+    val batch = FrapPipeline
+      .monitorAtScale(spark,
+        counts.filter(col("graph_id").isInCollection(monitor)),
+        profile, dict, dsize)
+      .as[(String, Boolean, Option[Double])].collect()
+    assert(streamed.toSet == batch.toSet) // stream ≡ batch, distances included
+    val verdicts = streamed.map(v => v._1 -> v._2).toMap
+    assert(!verdicts("bad-000"), "planted abnormal graph must be flagged")
+    edges.unpersist(false); counts.unpersist(false); dict.unpersist(false)
+  }
+
   test("rate source smoke: continuous micro-batch trigger (non-AvailableNow)") {
     val stream = spark.readStream.format("rate")
       .option("rowsPerSecond", "100").load()
