@@ -52,6 +52,30 @@ object Factorize {
       m.itemFactors.toDF("id", "features"))
   }
 
+  /** Weighted ALS for implicit feedback — the toolkit's wals.cpp (header
+    * cites Hu/Koren/Volinsky, "Collaborative Filtering for Implicit Feedback
+    * Datasets", ICDM 2008) via the same paper's implementation Spark ships:
+    * `ALS.setImplicitPrefs(true)`. Interaction counts become confidence
+    * weights c = 1 + α·r over a binary preference matrix, and the factors
+    * minimize the confidence-weighted reconstruction — the reference weights
+    * its RMSE sweep by the edge's weight field the same way
+    * (wals.cpp:125: error × edge.time). Predictions from the returned
+    * factors are preference scores in [0,1]-ish range, not ratings.
+    */
+  def wals(ratings: DataFrame, rank: Int = 8, iters: Int = 10,
+      regParam: Double = 0.1, alpha: Double = 10.0, seed: Long = 42L): Model = {
+    val m = new ALS()
+      .setRank(rank).setMaxIter(iters).setRegParam(regParam).setSeed(seed)
+      .setImplicitPrefs(true).setAlpha(alpha)
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .fit(ratings.select(
+        col("user").cast("int").as("user"),
+        col("item").cast("int").as("item"),
+        col("rating").cast("float").as("rating")))
+    Model(m.userFactors.toDF("id", "features"),
+      m.itemFactors.toDF("id", "features"))
+  }
+
   /** dot(u, v) over two equal-length array<double> factor columns — one
     * codegen'd expression, shared by [[predict]] and [[recommendTopK]].
     */

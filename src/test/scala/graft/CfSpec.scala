@@ -108,6 +108,32 @@ class CfSpec extends AnyFunSuite {
     assert(e == e2)
   }
 
+  test("weighted ALS (implicit) ranks planted in-block items above out-block") {
+    // two disjoint taste blocks: users 0-9 repeatedly consume items 0-9,
+    // users 10-19 consume items 10-19; counts are the implicit signal
+    val ratings = (for {
+      u <- 0 until 20; i <- 0 until 20
+      block = u / 10
+      if i / 10 == block && (u + i) % 4 != 0 // hold out a quarter
+    } yield (u, i, 1.0f + ((u * 7 + i * 3) % 5))).toDF("user", "item", "rating")
+    val m = Factorize.wals(ratings, rank = 4, iters = 10, alpha = 20.0)
+    val prefs = Factorize.predict(m,
+      (for (u <- 0 until 20; i <- 0 until 20) yield (u, i))
+        .toDF("user", "item"))
+      .select("user", "item", "prediction")
+      .as[(Int, Int, Double)].collect()
+    // every user's mean preference for in-block items beats out-of-block —
+    // including the held-out in-block pairs (generalization, not memorizing)
+    (0 until 20).foreach { u =>
+      val (in, out) = prefs.filter(_._1 == u).partition(p => p._2 / 10 == u / 10)
+      val (mi, mo) = (in.map(_._3).sum / in.size, out.map(_._3).sum / out.size)
+      assert(mi > mo + 0.2, s"user $u: in-block $mi vs out-block $mo")
+    }
+    // deterministic with the same seed
+    val again = Factorize.wals(ratings, rank = 4, iters = 10, alpha = 20.0)
+    assert(Factorize.rmse(m, ratings) == Factorize.rmse(again, ratings))
+  }
+
   // --- rating.cpp serving: Factorize.recommendTopK ---
 
   private def tinyModel = {
