@@ -445,6 +445,16 @@ object SparkEntry {
           col("shard"), col("pos"))
         .orderBy("shard", "pos")
     }),
+    "doc_pack_sequences" -> ((s, dir) => {
+      // GPT-style packing of the shuffled token stream into 512-token
+      // training sequences across 8 shards (capacity dyadic so the one
+      // float division is exact in both engines)
+      val toks = TextStats.tokenCounts(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"))
+      graft.text.Export.packSequences(toks, "doc_id", "n_tokens",
+          capacity = 512, numShards = 8)
+        .orderBy(col("shard"), col("seq"), col("off_in_seq"))
+    }),
     "doc_token_counts" -> ((s, dir) =>
       TextStats.tokenCounts(Tables(s, dir, "documents")).orderBy(col("doc_id"))),
     "doc_quality" -> ((s, dir) =>
@@ -1293,6 +1303,36 @@ object SparkEntry {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY kh % 4
         |    ORDER BY kh, uid) - 1 AS INT) AS pos
         |FROM k ORDER BY shard, pos""".stripMargin,
+    "doc_pack_sequences" ->
+      // token counts as doc_token_counts, +1 separator per doc; Lehmer
+      // shuffle key as doc_shuffle_shards; per-shard running end offsets;
+      // each doc spans sequences floor(start/512)..floor((end-1)/512),
+      // exact integer GREATEST/LEAST span arithmetic
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+        |      AS BIGINT) + 1 AS ntok,
+        |    ((doc_id % 2147483647) * 2654435761 + 42 * 40503)
+        |      % 2147483647 * 48271 % 2147483647 AS kh
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, ntok, CAST(kh % 8 AS INT) AS shard,
+        |    CAST(SUM(ntok) OVER (PARTITION BY kh % 8
+        |      ORDER BY kh, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+        |  FROM t),
+        |x AS (
+        |  SELECT doc_id, shard, e, e - ntok AS st,
+        |    UNNEST(generate_series(CAST(FLOOR((e - ntok) / 512.0) AS BIGINT),
+        |                           CAST(FLOOR((e - 1) / 512.0) AS BIGINT)))
+        |      AS seq
+        |  FROM c)
+        |SELECT shard, CAST(seq AS BIGINT) AS seq, doc_id,
+        |  GREATEST(seq * 512, st) - st AS off_in_doc,
+        |  GREATEST(seq * 512, st) - seq * 512 AS off_in_seq,
+        |  LEAST((seq + 1) * 512, e) - GREATEST(seq * 512, st) AS span_len
+        |FROM x ORDER BY shard, seq, off_in_seq""".stripMargin,
     "doc_token_counts" ->
       """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0

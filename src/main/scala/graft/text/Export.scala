@@ -135,6 +135,56 @@ object Export {
     docs.withColumn("split", expr)
   }
 
+  /** Sequence packing — the final tensor-shaping step of a pretraining
+    * export: documents are concatenated in deterministic shuffle order,
+    * each followed by ONE separator token, and the stream is cut every
+    * `capacity` tokens into training sequences; documents straddle cuts
+    * (GPT-style packing — no padding, every sequence exactly full).
+    *
+    * Packing is PER SHARD: each shard's token stream is independent, so the
+    * cumulative-offset window partitions by shard — at 100 TB numShards ≫
+    * cores and shards are pipeline-sized (a few GB), so there is never a
+    * global single-reducer window; the prefix sum is bounded per-task work.
+    * All arithmetic is exact 64-bit integers (capacity dyadic in the gate
+    * query keeps even the one float division exact), so a SQL oracle
+    * replays every span bit-for-bit.
+    *
+    * Output: one row per (document, sequence) span —
+    * (shard, seq, <idCol>, off_in_doc, off_in_seq, span_len), where `seq`
+    * is the 0-based sequence number within the shard, `off_in_doc` indexes
+    * into the document's tokens+separator contribution, and `off_in_seq`
+    * is the span's start inside the sequence. Invariants (ExportSpec):
+    * spans tile every document's contribution exactly (Σ span_len per doc
+    * = tokens + 1, contiguous from 0) and fill every sequence to exactly
+    * `capacity` except each shard's last.
+    */
+  def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
+      capacity: Int, numShards: Int, seed: Long = 42L): DataFrame = {
+    require(capacity >= 1 && numShards >= 1)
+    require(!docs.columns.contains("shard") && !docs.columns.contains("__key"),
+      "input already has a 'shard'/'__key' column; rename it before packing")
+    val key = keyHash(col(idCol), seed)
+    val w = Window.partitionBy(col("shard")).orderBy(col("__key"), col(idCol))
+    val ntok = col(tokenCol).cast("long") + 1L // + document separator
+    val cap = lit(capacity.toLong)
+    val seqStart = col("seq") * cap
+    val spanFrom = greatest(seqStart, col("__start"))
+    docs.select(col(idCol), col(tokenCol))
+      .withColumn("shard", (key % numShards).cast("int"))
+      .withColumn("__key", key)
+      .withColumn("__end", sum(ntok).over(w))
+      .withColumn("__start", col("__end") - ntok)
+      .withColumn("seq", explode(sequence(
+        floor(col("__start") / cap).cast("long"),
+        floor((col("__end") - 1L) / cap).cast("long"))))
+      .select(
+        col("shard"), col("seq"), col(idCol),
+        (spanFrom - col("__start")).as("off_in_doc"),
+        (spanFrom - seqStart).as("off_in_seq"),
+        (least((col("seq") + 1L) * cap, col("__end")) - spanFrom)
+          .as("span_len"))
+  }
+
   /** Mixture resampling to a target data mix: every document of domain d
     * appears ⌊w_d⌋ or ⌈w_d⌉ times (expected w_d — e.g. 2.5 → 2 copies
     * always, a 3rd for half the ids; 0.25 → kept once for a quarter).

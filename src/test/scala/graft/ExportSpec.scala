@@ -87,6 +87,39 @@ class ExportSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("window"), plan)
   }
 
+  test("packSequences: spans tile docs exactly and fill sequences to capacity") {
+    val toks = docs(400).select(col("doc_id"),
+      (col("doc_id") % 37 * 7 + 3).as("n_tokens")) // varied, deterministic
+    val out = Export.packSequences(toks, "doc_id", "n_tokens",
+      capacity = 64, numShards = 4).cache()
+    // (1) per-doc tiling: spans contiguous from 0, summing to n_tokens + 1
+    val perDoc = out.groupBy("doc_id")
+      .agg(sum("span_len").as("tot"), min("off_in_doc").as("lo"),
+        max(col("off_in_doc") + col("span_len")).as("hi"))
+      .join(toks, "doc_id")
+      .filter(col("tot") =!= col("n_tokens") + 1 || col("lo") =!= 0 ||
+        col("hi") =!= col("n_tokens") + 1)
+    assert(perDoc.count() == 0)
+    // (2) every sequence except each shard's last holds exactly `capacity`
+    // tokens, with spans contiguous inside the sequence
+    val lastSeq = out.groupBy("shard").agg(max("seq").as("last"))
+    val badSeq = out.groupBy("shard", "seq")
+      .agg(sum("span_len").as("fill"), min("off_in_seq").as("lo"),
+        max(col("off_in_seq") + col("span_len")).as("hi"))
+      .join(lastSeq, "shard")
+      .filter(col("lo") =!= 0 || col("hi") =!= col("fill") ||
+        (col("seq") =!= col("last") && col("fill") =!= 64) ||
+        col("fill") > 64)
+    assert(badSeq.count() == 0)
+    // (3) total span mass equals the whole stream, nothing lost or doubled
+    val total = out.agg(sum("span_len")).as[Long].head()
+    val want = toks.agg(sum(col("n_tokens") + 1)).as[Long].head()
+    assert(total == want)
+    // (4) a long doc straddles a cut: some span starts mid-doc
+    assert(out.filter(col("off_in_doc") > 0).count() > 0)
+    out.unpersist(false)
+  }
+
   test("holdoutSplit is document-stable under corpus growth") {
     val f = Seq("train" -> 0.75, "val" -> 0.125, "test" -> 0.125)
     val small = Export.holdoutSplit(docs(100), "doc_id", f)
