@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev probe: k-truss peel-round count and truss size on the derived link
+  * graph (sizes the gate query's round budget and the unrolled oracle).
+  * Usage: dev/run.sh graft.DevTrussProbe <sfDir> [k]
+  */
+object DevTrussProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val k = if (args.length > 1) args(1).toInt else 4
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val edges = graft.core.LinkGraph.edges(spark, sfDir)
+    var rounds = 0
+    val t0 = System.nanoTime()
+    // replicate kTruss but log per-round sizes
+    var cur = graft.algos.TriangleCount.canonicalEdges(edges)
+      .localCheckpoint(true)
+    var n = cur.count()
+    println(s"round 0: $n canonical edges")
+    var done = n == 0L
+    while (!done && rounds < 60) {
+      val next = graft.algos.Truss.kTrussRound(cur, k)
+      val m = next.count()
+      rounds += 1
+      println(s"round $rounds: $m edges (removed ${n - m})")
+      done = m == n
+      cur = next
+      n = m
+    }
+    println(f"k=$k truss: $n edges, $rounds rounds (incl. fixpoint check), " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    spark.stop()
+  }
+}

@@ -53,6 +53,7 @@ object SparkEntry {
   val PrIters  = 20
   val CcIters  = 20 // must exceed the undirected graph diameter (tested)
   val LpaIters = 5
+  val HitsIters = 8
   /** PPR seed set: three customers (present at every SF ≥ 0.001). */
   val PprSeeds = Seq(LinkGraph.CUST + 1L, LinkGraph.CUST + 2L,
     LinkGraph.CUST + 3L)
@@ -111,6 +112,24 @@ object SparkEntry {
       PageRank.run(s, LinkGraph.edges(s, dir), tol = 1e-6, maxIters = 200)
         .state.select(col("id"),
           floor(col("rank") * 1e8 + 0.5).cast("long").as("rank_q8"))
+        .orderBy(col("id"))
+    }),
+    "ktruss" -> ((s, dir) => {
+      // 4-truss (every edge in >= 2 triangles of the subgraph): support
+      // peeling to fixpoint — 15 rounds measured at sf0.01 (DevTrussProbe:
+      // 187086 -> 66 canonical edges); budget 20 fails loudly on drift,
+      // matching the oracle's unrolled-round count
+      graft.algos.Truss.kTruss(s, LinkGraph.edges(s, dir), k = 4,
+          maxRounds = 20)
+        .orderBy(col("u"), col("v"))
+    }),
+    "hits" -> ((s, dir) => {
+      // Kleinberg hubs/authorities, 8 iterations, L2-normalized each step;
+      // unit-scale scores quantized at 1e-6 (float-sum noise ~1e-15)
+      graft.algos.Hits.run(s, LinkGraph.edges(s, dir), HitsIters)
+        .select(col("id"),
+          floor(col("hub") * 1e6 + 0.5).cast("long").as("hub_q6"),
+          floor(col("auth") * 1e6 + 0.5).cast("long").as("auth_q6"))
         .orderBy(col("id"))
     }),
     "pagerank_personalized" -> ((s, dir) => {
@@ -723,6 +742,8 @@ object SparkEntry {
     "pagerank_converged" -> PageRank.convergedOracleSql(E, 1e-6, 200, 8),
     "pagerank_personalized" ->
       PageRank.personalizedOracleSql(E, PprSeeds, PrIters, 8),
+    "hits" -> graft.algos.Hits.oracleSql(E, HitsIters, 6),
+    "ktruss" -> graft.algos.Truss.oracleSql(E, k = 4, rounds = 20),
     "pagerank_top20" ->
       // reuse the unrolled CTE chain, change the final projection to top-20
       PageRank.oracleSql(E, PrIters, 5).replace(

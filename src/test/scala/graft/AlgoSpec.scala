@@ -73,6 +73,38 @@ class AlgoSpec extends AnyFunSuite {
     assert(unreachable.forall(v => got(v) == 0.0))
   }
 
+  test("HITS matches the local normalized recurrence") {
+    val iters = 5
+    val got = graft.algos.Hits.run(spark, edgesDf, iters)
+      .select("id", "hub", "auth").as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val verts = edgePairs.flatMap(e => Seq(e._1, e._2)).distinct
+    var hub = verts.map(_ -> 1.0).toMap
+    var auth = verts.map(_ -> 1.0).toMap
+    def norm(m: Map[Long, Double]) = {
+      val n = math.sqrt(m.values.map(x => x * x).sum)
+      m.map { case (k, v) => k -> v / n }
+    }
+    for (_ <- 1 to iters) {
+      val a = scala.collection.mutable.Map.empty[Long, Double]
+        .withDefaultValue(0.0)
+      edgePairs.foreach { case (s, d) => a(d) += hub(s) }
+      auth = norm(verts.map(v => v -> a(v)).toMap)
+      val h = scala.collection.mutable.Map.empty[Long, Double]
+        .withDefaultValue(0.0)
+      edgePairs.foreach { case (s, d) => h(s) += auth(d) }
+      hub = norm(verts.map(v => v -> h(v)).toMap)
+    }
+    assert(got.keySet == hub.keySet)
+    val maxErr = got.map { case (v, (hh, aa)) =>
+      math.max(math.abs(hh - hub(v)), math.abs(aa - auth(v)))
+    }.max
+    assert(maxErr <= 1e-9, s"max |Δ| = $maxErr")
+    // unit L2 on both vectors
+    assert(math.abs(got.values.map(_._1).map(x => x * x).sum - 1.0) < 1e-9)
+    assert(math.abs(got.values.map(_._2).map(x => x * x).sum - 1.0) < 1e-9)
+  }
+
   test("pagerank: dangling vertices keep teleport-only rank floor") {
     // region vertices have no out-edges; their rank must still accumulate
     // in-contributions (no redistribution of dangling mass).

@@ -99,4 +99,30 @@ class MoreAlgosSpec extends AnyFunSuite {
     // odd steps land on spokes, chosen by hash -> many distinct spokes
     assert(visits.keySet.count(_ > 0) > 10)
   }
+
+  test("k-truss: planted clique survives, weaker structures peel away") {
+    // K5 on 0..4 (every edge in 3 triangles), a lone triangle 10-11-12
+    // (support 1 each), a chain 20-21-22 (support 0), and a BRIDGE triangle
+    // 4-10-13 that only becomes weak after the lone triangle's edges hold
+    val k5 = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val extra = Seq((10L, 11L), (11L, 12L), (10L, 12L), // lone triangle
+      (20L, 21L), (21L, 22L), // chain
+      (4L, 10L), (4L, 13L), (10L, 13L)) // bridge triangle
+    val edges = (k5 ++ extra).toDF("src", "dst")
+      .withColumn("weight", lit(1.0))
+    val t4 = graft.algos.Truss.kTruss(spark, edges, k = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(t4 == k5.toSet, s"4-truss should be exactly K5, got $t4")
+    // k=3 keeps every triangle (each edge in >= 1 triangle of its own
+    // structure) and drops only the chain
+    val t3 = graft.algos.Truss.kTruss(spark, edges, k = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(t3 == (k5 ++ extra.filterNot(e => e._1 >= 20L && e._1 < 23L)).toSet)
+    // directed duplicates / reversed edges canonicalize before peeling
+    val doubled = edges.unionAll(
+      edges.select(col("dst").as("src"), col("src").as("dst"), col("weight")))
+    val t4d = graft.algos.Truss.kTruss(spark, doubled, k = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(t4d == t4)
+  }
 }
