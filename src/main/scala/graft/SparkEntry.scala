@@ -532,6 +532,29 @@ object SparkEntry {
       graft.text.FeatureStats.bagOfWords(Tables(s, dir, "documents"),
         minCount = 2, maxCount = 1000)
         .orderBy(col("doc_id"), col("word_id"))),
+    "doc_dedup_clusters" -> ((s, dir) => {
+      // transitive near-dup clustering — the production dedup stage's real
+      // output: MinHash-verified pairs → connected components → min-id
+      // cluster representative; docs in no pair are their own cluster
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.minhashDedup(docs, n = 3, threshold = 0.8)
+      val dupEdges = pairs.select(col("doc_a").as("src"),
+        col("doc_b").as("dst"), lit(1.0).as("weight"))
+      val comp = ConnectedComponents.components(s, dupEdges)
+      docs.select("doc_id")
+        .join(comp.select(col("id").as("doc_id"), col("label")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"))
+        .orderBy("doc_id")
+    }),
+    "doc_tfidf" -> ((s, dir) =>
+      // raw-count tf × smoothed idf ln((N+1)/(df+1)); q6 absorbs the
+      // cross-engine libm ln ulp
+      graft.text.FeatureStats.tfIdf(Tables(s, dir, "documents"), minCount = 2)
+        .select(col("doc_id"), col("word_id"),
+          floor(col("tfidf") * 1e6 + 0.5).cast("long").as("tfidf_q6"))
+        .orderBy(col("doc_id"), col("word_id"))),
     "mutual_information" -> ((s, dir) =>
       // mi.cpp over two categorical columns of orders
       graft.text.FeatureStats.mutualInformation(Tables(s, dir, "orders"),
@@ -1523,6 +1546,80 @@ object SparkEntry {
         |SELECT c.doc_id, d.word_id, c.cnt
         |FROM cnt c JOIN dict d USING (word)
         |WHERE c.cnt BETWEEN 2 AND 1000
+        |ORDER BY doc_id, word_id""".stripMargin,
+    "doc_dedup_clusters" ->
+      // the doc_minhash_dedup pair pipeline + recursive transitive closure;
+      // cluster id = min doc reachable (== the engine's hash-min CC label)
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |       ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+        |  FROM documents),
+        |sh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(t) - 1),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS shingle
+        |  FROM toks WHERE len(t) >= 3),
+        |mins AS MATERIALIZED (
+        |  SELECT doc_id, i.range AS i,
+        |         MIN(md5(i.range || ':' || shingle)) AS minh
+        |  FROM sh, range(32) i GROUP BY 1, 2),
+        |bands AS MATERIALIZED (
+        |  SELECT doc_id, i // 4 AS band,
+        |         md5(string_agg(i || ':' || minh, ','
+        |           ORDER BY i || ':' || minh)) AS sig
+        |  FROM mins GROUP BY 1, 2),
+        |cand AS MATERIALIZED (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+        |  WHERE a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.doc_a
+        |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        |  GROUP BY 1, 2),
+        |pairs AS MATERIALIZED (
+        |  SELECT doc_a, doc_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = doc_a
+        |  JOIN sizes sb ON sb.doc_id = doc_b
+        |  WHERE inter / (sa.sz + sb.sz - inter) >= 0.8),
+        |und AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT a, a FROM (SELECT DISTINCT a FROM und)
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON u.a = r.b),
+        |clus AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        |FROM documents d LEFT JOIN clus c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    "doc_tfidf" ->
+      // same tokenize/dictionary as doc_bag_of_words (minCount 2, no max);
+      // df counted over the SAME filtered bag the Spark side joins
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                       w -> length(w) >= 2)) AS word
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |cnt AS (
+        |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY 1, 2),
+        |kept AS (SELECT * FROM cnt WHERE cnt >= 2),
+        |dict AS (
+        |  SELECT word,
+        |         CAST(dense_rank() OVER (ORDER BY word) AS BIGINT) AS word_id
+        |  FROM (SELECT DISTINCT word FROM toks)),
+        |bow AS (
+        |  SELECT c.doc_id, d.word_id, c.cnt
+        |  FROM kept c JOIN dict d USING (word)),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |dfreq AS (SELECT word_id, COUNT(*) AS df FROM bow GROUP BY 1)
+        |SELECT b.doc_id, b.word_id,
+        |  CAST(FLOOR(b.cnt * LN((n.n + 1.0) / (f.df + 1.0)) * 1e6 + 0.5)
+        |    AS BIGINT) AS tfidf_q6
+        |FROM bow b JOIN dfreq f USING (word_id) CROSS JOIN n
         |ORDER BY doc_id, word_id""".stripMargin,
     "mutual_information" ->
       """WITH n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM orders),

@@ -77,6 +77,27 @@ object FeatureStats {
       .select(col("doc_id"), col("word_id"), col("cnt"))
   }
 
+  /** TF-IDF weights over the [[bagOfWords]] rows: for each (doc, word),
+    * tf × ln((N+1)/(df+1)) with raw-count tf, smoothed idf (spark.ml IDF's
+    * formula — never divides by zero, new words at serve time get the
+    * max-idf ceiling), N = corpus document count, df = documents containing
+    * the word. The quality-classifier / relevance-features step of a text
+    * pipeline, composed from the same bag-of-words the LDA prep feeds.
+    *
+    * Shape at 100 TB: df is one map-side-combinable count over the
+    * (doc, word) rows; N rides in as a broadcast 1-row frame (no driver
+    * action); the df join is vocabulary-sized like the dictionary join.
+    */
+  def tfIdf(docs: DataFrame, minCount: Long = 1L): DataFrame = {
+    val bow = bagOfWords(docs, minCount)
+    val n = docs.select(count(lit(1)).as("__n"))
+    val dfreq = bow.groupBy("word_id").agg(count(lit(1)).as("__df"))
+    bow.join(dfreq, "word_id").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("word_id"),
+        (col("cnt") *
+          log((col("__n") + 1.0) / (col("__df") + 1.0))).as("tfidf"))
+  }
+
   /** Empirical mutual information between two categorical columns, as one
     * row `(n, unique_x, unique_y, mi_q6, h_x_q6)` — mi.cpp:198-241's exact
     * quantities (joint/marginal relative frequencies, log2), quantized to
