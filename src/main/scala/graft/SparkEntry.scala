@@ -206,6 +206,15 @@ object SparkEntry {
         e.select(col("src").as("id")).distinct().orderBy(col("id")).limit(50),
         walksPerSource = 10, steps = 4).orderBy(col("id"))
     }),
+    "node2vec_walks" -> ((s, dir) => {
+      // second-order biased walk corpus (p=4, q=2: α return ¼, common 1,
+      // explore ½) — skip-gram training input, every hop integer-exact
+      val e = LinkGraph.edges(s, dir)
+      graft.algos.RandomWalks.node2vecWalks(s, e,
+        e.select(col("src").as("id")).distinct().orderBy(col("id")).limit(30),
+        walksPerSource = 5, steps = 4, p = 4, q = 2)
+        .orderBy(col("walk_id"), col("step"))
+    }),
     "neighborhood_function" -> ((s, dir) => {
       // exact landmark-BFS ball sizes; the HyperBall scale path over the
       // same graph is equivalence/accuracy-tested in NeighborhoodSpec
@@ -1046,6 +1055,8 @@ object SparkEntry {
          |FROM planted ORDER BY graph_id""".stripMargin,
     "random_walks" -> graft.algos.RandomWalks.oracleSql(E,
       nSources = 50, walksPerSource = 10, steps = 4),
+    "node2vec_walks" -> graft.algos.RandomWalks.node2vecOracleSql(E,
+      nSources = 30, walksPerSource = 5, steps = 4, p = 4, q = 2),
     "bond_percolation" ->
       graft.algos.GraphOps.bondPercolationOracleSql(E, 0.5),
 

@@ -80,6 +80,140 @@ object RandomWalks {
     else visits.groupBy("id").agg(count(lit(1)).as("visits"))
   }
 
+  /** Node2vec-style second-order biased walks (Grover & Leskovec, KDD'16) —
+    * the walk-corpus generator for graph-embedding training data. The next
+    * hop from state (prev, cur) weights each out-neighbor `next` of `cur`
+    * by the search bias α: 1/p if next = prev (return), 1 if (prev→next)
+    * ∈ E (common), 1/q otherwise (explore). Weights are scaled by p·q into
+    * EXACT integers (return → q, common → p·q, explore → p), the choice is
+    * r = Lehmer(walk, step, seed) mod Σweights walked down the
+    * dst-ordered cumulative sum — pure 64-bit arithmetic, reproducible at
+    * any parallelism and replayable by the SQL oracle. The first hop (no
+    * prev) is uniform, exactly [[visitCounts]]'s pick.
+    *
+    * Returns the walk corpus (walk_id, step, vertex), steps 1..`steps`
+    * (dead-ended walks stop early) — skip-gram input, not just visit
+    * counts.
+    *
+    * Scale shape: each hop joins the frontier against `cur`'s out-edges, so
+    * a walk at a degree-d vertex costs d candidate rows (the weights depend
+    * on prev, so candidates MUST be enumerated per walk — the alternative,
+    * per-edge alias tables, trades O(Σ deg(u)·deg(v)) precomputed state,
+    * which loses at web scale). The cumulative-sum window partitions by
+    * walk_id — millions of tiny independent groups, never a global window.
+    */
+  def node2vecWalks(spark: SparkSession, edges: DataFrame, sources: DataFrame,
+      walksPerSource: Int, steps: Int, p: Int, q: Int,
+      seed: Long = 42L): DataFrame = {
+    require(p >= 1 && q >= 1, "integer bias params p, q >= 1")
+    val e = edges.select("src", "dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy("src").orderBy("dst")
+    val indexed = e.withColumn("pos", row_number().over(w).cast("long") - 1)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("od"))
+    e.count()
+
+    // first hop: uniform (no prev yet)
+    var walks = sources.select(col("id"))
+      .crossJoin(spark.range(0, walksPerSource).toDF("rep"))
+      .select(
+        (col("id") * walksPerSource + col("rep")).as("walk_id"),
+        col("id").as("prev_tmp"))
+      .join(outdeg, col("prev_tmp") === outdeg("src"))
+      .select(col("walk_id"), col("prev_tmp"),
+        pick(col("walk_id"), 1, seed, col("od")).as("pk"))
+      .join(indexed.select(col("src").as("isrc"), col("pos"), col("dst")),
+        col("prev_tmp") === col("isrc") && col("pk") === col("pos"))
+      .select(col("walk_id"), col("prev_tmp").as("prev"),
+        col("dst").as("cur"))
+      .localCheckpoint(true)
+    var corpus = walks.select(col("walk_id"), lit(1).as("step"),
+      col("cur").as("vertex"))
+
+    val cw = Window.partitionBy("walk_id").orderBy("next")
+    for (step <- 2 to steps) {
+      val cand = walks
+        .join(e.select(col("src").as("cur"), col("dst").as("next")), "cur")
+        .join(e.select(col("src").as("prev"), col("dst").as("next"),
+          lit(1).as("common")), Seq("prev", "next"), "left")
+        .withColumn("wt",
+          when(col("next") === col("prev"), lit(q.toLong))
+            .when(col("common").isNotNull, lit(p.toLong * q))
+            .otherwise(lit(p.toLong)))
+      val withCum = cand
+        .withColumn("cum", sum("wt").over(cw))
+        .withColumn("tw", sum("wt").over(Window.partitionBy("walk_id")))
+        .withColumn("r",
+          ((col("walk_id") % P) * lit(1103515245L) +
+            lit(step * 12345L + seed)) % P * 48271L % P % col("tw"))
+      walks = withCum
+        .filter(col("cum") - col("wt") <= col("r") && col("r") < col("cum"))
+        .select(col("walk_id"), col("cur").as("prev"), col("next").as("cur"))
+        .localCheckpoint(true)
+      corpus = corpus.unionAll(walks.select(col("walk_id"),
+        lit(step).as("step"), col("cur").as("vertex")))
+    }
+    e.unpersist(false)
+    corpus
+  }
+
+  /** Unrolled DuckDB oracle for [[node2vecWalks]]'s SparkEntry query shape:
+    * `nSources` smallest source ids. Same integer weights, cumulative-sum
+    * pick, and Lehmer draws.
+    */
+  def node2vecOracleSql(edgesSql: String, nSources: Int, walksPerSource: Int,
+      steps: Int, p: Int, q: Int, seed: Long = 42L): String = {
+    val hops = (2 to steps).map { k =>
+      s"""c$k AS MATERIALIZED (
+         |  SELECT w.walk_id, w.prev, w.cur, e.dst AS next,
+         |    CASE WHEN e.dst = w.prev THEN $q
+         |         WHEN ce.src IS NOT NULL THEN ${p.toLong * q}
+         |         ELSE $p END AS wt
+         |  FROM w${k - 1} w
+         |  JOIN edges e ON e.src = w.cur
+         |  LEFT JOIN edges ce ON ce.src = w.prev AND ce.dst = e.dst),
+         |s$k AS MATERIALIZED (
+         |  SELECT walk_id, cur, next, wt,
+         |    SUM(wt) OVER (PARTITION BY walk_id ORDER BY next
+         |      ROWS UNBOUNDED PRECEDING) AS cum,
+         |    CAST(SUM(wt) OVER (PARTITION BY walk_id) AS BIGINT) AS tw
+         |  FROM c$k),
+         |w$k AS MATERIALIZED (
+         |  SELECT walk_id, cur AS prev, next AS cur FROM s$k
+         |  WHERE cum - wt <=
+         |    ((walk_id % $P) * 1103515245 + ${k * 12345L + seed})
+         |      % $P * 48271 % $P % tw
+         |   AND ((walk_id % $P) * 1103515245 + ${k * 12345L + seed})
+         |      % $P * 48271 % $P % tw < cum)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to steps)
+      .map(k => s"SELECT walk_id, $k AS step, cur AS vertex FROM w$k")
+      .mkString("\n    UNION ALL ")
+    s"""WITH edges AS MATERIALIZED (
+       |$edgesSql
+       |),
+       |idx AS MATERIALIZED (
+       |  SELECT src, dst,
+       |         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS pos
+       |  FROM edges),
+       |od AS MATERIALIZED (SELECT src, COUNT(*) AS od FROM edges GROUP BY 1),
+       |srcs AS (SELECT DISTINCT src AS id FROM edges ORDER BY id LIMIT $nSources),
+       |w0 AS (
+       |  SELECT id * $walksPerSource + r.range AS walk_id, id AS prev
+       |  FROM srcs, range($walksPerSource) r),
+       |w1 AS MATERIALIZED (
+       |  SELECT w.walk_id, w.prev, i.dst AS cur
+       |  FROM w0 w
+       |  JOIN od o ON o.src = w.prev
+       |  JOIN idx i ON i.src = w.prev AND i.pos =
+       |    ((w.walk_id % $P) * 1103515245 + ${1 * 12345L + seed})
+       |      % $P * 48271 % $P % o.od),
+       |$hops
+       |SELECT walk_id, step, vertex FROM (
+       |    $unions)
+       |ORDER BY walk_id, step""".stripMargin
+  }
+
   /** Unrolled DuckDB oracle for the SparkEntry query shape: `nSources`
     * smallest source ids, `walksPerSource` walks, `steps` hops.
     */

@@ -100,6 +100,53 @@ class MoreAlgosSpec extends AnyFunSuite {
     assert(visits.keySet.count(_ > 0) > 10)
   }
 
+  test("node2vec walks: valid edges, full length, p/q bias steers the walk") {
+    // 4-cycle in both directions: from any (prev, cur) state exactly two
+    // candidates — return (weight q·1 after scaling) and forward (weight p,
+    // since the 2-hop endpoint is never prev's neighbor in a 4-cycle)
+    val ring = (0L to 3L).flatMap { i =>
+      val j = (i + 1) % 4
+      Seq((i, j), (j, i))
+    }
+    val edges = ring.toDF("src", "dst").withColumn("weight", lit(1.0))
+    val srcs = Seq(0L, 1L, 2L, 3L).toDF("id")
+    def run(p: Int, q: Int) = graft.algos.RandomWalks
+      .node2vecWalks(spark, edges, srcs, walksPerSource = 50, steps = 4,
+        p = p, q = q)
+      .as[(Long, Int, Long)].collect().toSeq
+    val explore = run(p = 1000, q = 1) // α(return) = 1/1000: keep moving
+    val retreat = run(p = 1, q = 1000) // α(explore) = 1/1000: bounce back
+    // validity: every hop follows a real edge, every walk runs full length
+    // (the bidirectional ring has no dead ends)
+    val edgeSet = ring.toSet
+    def hops(c: Seq[(Long, Int, Long)]): Seq[(Long, Long)] = c
+      .groupBy(_._1).values.flatMap { w =>
+        val byStep = w.sortBy(_._2)
+        assert(byStep.map(_._2) == (1 to byStep.size), s"gapped steps: $w")
+        assert(byStep.size == 4)
+        val src = byStep.head._1 / 50 // walk_id = source*50 + rep
+        (src +: byStep.map(_._3)).sliding(2).map(s => (s(0), s(1))).toSeq
+      }.toSeq
+    val eh = hops(explore)
+    assert(eh.forall(edgeSet.contains))
+    // bias: count immediate backtracks (v -> u -> v) among 2nd..4th hops
+    def backtracks(c: Seq[(Long, Int, Long)]): Int = c.groupBy(_._1).values
+      .map { w =>
+        val vs = w.sortBy(_._2).map(_._3)
+        val src = w.head._1 / 50
+        val path = src +: vs
+        (2 until path.size).count(i => path(i) == path(i - 2))
+      }.sum
+    val bE = backtracks(explore)
+    val bR = backtracks(retreat)
+    // 200 walks × 3 biased hops = 600 decisions each; α-ratio 1000:1 means
+    // near-none vs near-all
+    assert(bE < 30, s"explore-biased walks backtracked $bE/600")
+    assert(bR > 570, s"return-biased walks backtracked only $bR/600")
+    // determinism
+    assert(run(1000, 1) == explore)
+  }
+
   test("k-truss: planted clique survives, weaker structures peel away") {
     // K5 on 0..4 (every edge in 3 triangles), a lone triangle 10-11-12
     // (support 1 each), a chain 20-21-22 (support 0), and a BRIDGE triangle
