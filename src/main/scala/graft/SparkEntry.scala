@@ -206,6 +206,16 @@ object SparkEntry {
         e.select(col("src").as("id")).distinct().orderBy(col("id")).limit(50),
         walksPerSource = 10, steps = 4).orderBy(col("id"))
     }),
+    "sssp" -> ((s, dir) => {
+      // weighted shortest paths from customer 1. The directed type graph is
+      // a DAG (cust→order→part→supp→nation→region, longest chain 5 hops),
+      // so 8 oracle rounds cover any SF structurally
+      graft.algos.GraphOps.sssp(s, LinkGraph.edges(s, dir),
+          LinkGraph.CUST + 1L)
+        .select(col("id"),
+          floor(col("dist") * 1e6 + 0.5).cast("long").as("dist_q6"))
+        .orderBy(col("id"))
+    }),
     "node2vec_walks" -> ((s, dir) => {
       // second-order biased walk corpus (p=4, q=2: α return ¼, common 1,
       // explore ½) — skip-gram training input, every hop integer-exact
@@ -1057,6 +1067,8 @@ object SparkEntry {
       nSources = 50, walksPerSource = 10, steps = 4),
     "node2vec_walks" -> graft.algos.RandomWalks.node2vecOracleSql(E,
       nSources = 30, walksPerSource = 5, steps = 4, p = 4, q = 2),
+    "sssp" -> graft.algos.GraphOps.ssspOracleSql(E,
+      LinkGraph.CUST + 1L, rounds = 8, roundTo = 6),
     "bond_percolation" ->
       graft.algos.GraphOps.bondPercolationOracleSql(E, 0.5),
 

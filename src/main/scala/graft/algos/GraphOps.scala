@@ -109,6 +109,76 @@ object GraphOps {
   }
 
   /** Degree distribution: (deg, n_vertices) — the degree-histogram report. */
+  /** Single-source shortest paths over the weighted DIRECTED edges —
+    * Bellman-Ford as a delta iteration: each round relaxes only the
+    * out-edges of vertices whose distance improved last round (the
+    * frontier), merges candidate distances with a min, and stops when no
+    * vertex improves. Positive weights guarantee termination; like SCC's
+    * peel, the loop fails loudly on a round budget instead of spinning.
+    *
+    * Scale shape: per-round work = frontier out-degree sum (a semi-join-
+    * sized relax, shrinking with the frontier exactly as CC's delta
+    * iteration — the measured collapse pattern at 176 M edges), one
+    * min-groupBy shuffle per round, state lineage-truncated. Distance
+    * arithmetic is IEEE-exact relative to the oracle: both engines add the
+    * same weights along the same relaxation paths.
+    *
+    * @return (id, dist) for vertices reachable from `source`
+    */
+  def sssp(spark: SparkSession, edges: DataFrame, source: Long,
+      maxRounds: Int = 50): DataFrame = {
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst"), col("weight"))
+      .repartition(col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    var dist = Seq((source, 0.0)).toDF("id", "dist").localCheckpoint(true)
+    var frontier = dist
+    var round = 0
+    while (frontier.limit(1).count() > 0) {
+      if (round >= maxRounds) throw new IllegalStateException(
+        s"sssp did not converge in $maxRounds rounds")
+      val cand = frontier.join(e, frontier("id") === e("src"))
+        .select(col("dst").as("id"), (col("dist") + col("weight")).as("nd"))
+        .groupBy("id").agg(min("nd").as("nd"))
+      val improved = cand.join(dist, Seq("id"), "left")
+        .filter(col("dist").isNull || col("nd") < col("dist"))
+        .select(col("id"), col("nd").as("dist"))
+        .localCheckpoint(true)
+      dist = graft.core.Dataflow.checkpointRebased(
+        dist.unionAll(improved).groupBy("id").agg(min("dist").as("dist")))
+      frontier = improved
+      round += 1
+    }
+    e.unpersist(false)
+    dist
+  }
+
+  /** Unrolled DuckDB oracle for [[sssp]]: `rounds` synchronous relaxation
+    * rounds (enough to cover the graph's max shortest-path hop count;
+    * relaxation is idempotent at the fixpoint, extra rounds are harmless).
+    */
+  def ssspOracleSql(edgesSql: String, source: Long, rounds: Int,
+      roundTo: Int): String = {
+    val iter = (1 to rounds).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT id, MIN(dist) AS dist FROM (
+         |    SELECT id, dist FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS id, p.dist + e.weight AS dist
+         |    FROM edges e JOIN d${k - 1} p ON p.id = e.src)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS MATERIALIZED (
+       |$edgesSql
+       |),
+       |d0 AS (SELECT CAST($source AS BIGINT) AS id, CAST(0.0 AS DOUBLE) AS dist),
+       |$iter
+       |SELECT id, CAST(FLOOR(dist * 1e$roundTo + 0.5) AS BIGINT)
+       |  AS dist_q$roundTo
+       |FROM d$rounds ORDER BY id""".stripMargin
+  }
+
   def degreeDistribution(edges: DataFrame): DataFrame =
     LinkGraph.degrees(edges)
       .groupBy(col("deg")).agg(count(lit(1)).as("n_vertices"))

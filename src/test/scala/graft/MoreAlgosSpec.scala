@@ -100,6 +100,36 @@ class MoreAlgosSpec extends AnyFunSuite {
     assert(visits.keySet.count(_ > 0) > 10)
   }
 
+  test("sssp matches a local Dijkstra on the weighted link graph") {
+    val src = LinkGraph.CUST + 1L
+    val wEdges = edgesDf.select("src", "dst", "weight")
+      .as[(Long, Long, Double)].collect().toSeq
+    val got = graft.algos.GraphOps.sssp(spark, edgesDf, src)
+      .as[(Long, Double)].collect().toMap
+    // local Dijkstra (directed, positive weights)
+    val adj = wEdges.groupBy(_._1)
+      .map { case (s, es) => s -> es.map(e => (e._2, e._3)) }
+    val dist = scala.collection.mutable.Map(src -> 0.0)
+    val pq = scala.collection.mutable.PriorityQueue((0.0, src))(
+      Ordering.by(-_._1))
+    val settled = scala.collection.mutable.Set.empty[Long]
+    while (pq.nonEmpty) {
+      val (d, u) = pq.dequeue()
+      if (!settled(u)) {
+        settled += u
+        adj.getOrElse(u, Nil).foreach { case (v, w) =>
+          if (d + w < dist.getOrElse(v, Double.MaxValue)) {
+            dist(v) = d + w; pq.enqueue((d + w, v))
+          }
+        }
+      }
+    }
+    assert(got.keySet == dist.keySet)
+    assert(got.forall { case (v, d) => d == dist(v) },
+      "synchronous relaxation must reach the exact Dijkstra fixpoint")
+    assert(got.size > 1 && got(src) == 0.0)
+  }
+
   test("node2vec walks: valid edges, full length, p/q bias steers the walk") {
     // 4-cycle in both directions: from any (prev, cur) state exactly two
     // candidates — return (weight q·1 after scaling) and forward (weight p,
