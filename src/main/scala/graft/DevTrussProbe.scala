@@ -2,19 +2,26 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev probe: k-truss peel-round count and truss size on the derived link
-  * graph (sizes the gate query's round budget and the unrolled oracle).
-  * Usage: dev/run.sh graft.DevTrussProbe <sfDir> [k]
+/** Dev probe: k-truss peel-round count and truss size, on the derived link
+  * graph (sizes the gate query's round budget and the unrolled oracle) or,
+  * with `parquet:<path>`, on a parked scaling edge table at local[32].
+  * Usage: dev/run.sh graft.DevTrussProbe <sfDir|parquet:path> [k]
   */
 object DevTrussProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
+    val input = args(0)
     val k = if (args.length > 1) args(1).toInt else 4
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val scaleRun = input.startsWith("parquet:")
+    val cores = if (scaleRun) 32 else 8
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/tmp/graft-spark"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val edges = graft.core.LinkGraph.edges(spark, sfDir)
+    val edges =
+      if (scaleRun) spark.read.parquet(input.drop(8))
+      else graft.core.LinkGraph.edges(spark, input)
     var rounds = 0
     val t0 = System.nanoTime()
     // replicate kTruss but log per-round sizes
