@@ -598,6 +598,16 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "embedding_kmeans" -> ((s, dir) =>
+      // grid-exact distributed Lloyd (vectors/KMeans.scala): k seeds = the
+      // 10 lowest vec_ids, 3 iterations, 1e-3 coordinate grid
+      graft.vectors.KMeans.lloyd(Tables(s, dir, "embeddings"),
+        k = 10, iters = 3).orderBy("vec_id")),
+    "embedding_semdedup" -> ((s, dir) =>
+      // SemDeDup over the kmeans clusters: drop any member with a
+      // smaller-id cluster-mate at cos >= 0.4 (tau^2 = 4/25, integer-exact)
+      graft.vectors.KMeans.semDedup(Tables(s, dir, "embeddings"),
+        k = 10, iters = 3, tauNum = 4, tauDen = 25).orderBy("vec_id")),
     "ann_lsh_recall" -> ((s, dir) => {
       // recall@5 of the LSH path against the exact brute-force top-5, per
       // query (VERDICT r2 item 6: makes the approximate path's quality claim
@@ -753,6 +763,48 @@ object SparkEntry {
         .toDF().orderBy(col("media_id"))
     })
   )
+
+  /** Shared unrolled-Lloyd CTE chain for the embedding_kmeans /
+    * embedding_semdedup oracles — re-derives vectors/KMeans.lloyd step for
+    * step on the integer grid (k=10 lowest-id seeds, 3 iterations, 1e-3
+    * grid): per-dim quantized rows, argmin by (d2, cid), floor-div centroid
+    * means. Everything is 64-bit integer arithmetic, so the comparison is
+    * exact. AS MATERIALIZED keeps DuckDB from inlining the iteration chain
+    * exponentially. Final assignment lands in `fin(vec_id, cid, d2)`.
+    */
+  private def lloydCtes: String = {
+    def assign(c: String, a: String) =
+      s"""$a AS MATERIALIZED (
+         |  SELECT vec_id, cid, d2 FROM (
+         |    SELECT vec_id, cid, d2,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+         |    FROM (SELECT q.vec_id, c.cid, SUM((q.v - c.v) * (q.v - c.v)) AS d2
+         |          FROM qv q JOIN $c c USING (pos) GROUP BY 1, 2))
+         |  WHERE rn = 1)"""
+    def update(a: String, c: String) =
+      s"""$c AS MATERIALIZED (
+         |  SELECT a.cid, q.pos,
+         |    CAST((SUM(q.v) - (((SUM(q.v) % COUNT(*)) + COUNT(*)) % COUNT(*)))
+         |         / COUNT(*) AS BIGINT) AS v
+         |  FROM qv q JOIN $a a USING (vec_id) GROUP BY 1, 2)"""
+    s"""WITH qv AS MATERIALIZED (
+       |  SELECT vec_id, d.range AS pos,
+       |    CAST(floor(CAST(embedding[(d.range + 1)::INT] AS DOUBLE) * 1000
+       |               + 0.5) AS BIGINT) AS v
+       |  FROM embeddings, range(64) d),
+       |seeds AS (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 10)),
+       |c0 AS MATERIALIZED (
+       |  SELECT s.cid, q.pos, q.v FROM qv q JOIN seeds s USING (vec_id)),
+       |${assign("c0", "a1")},
+       |${update("a1", "c1")},
+       |${assign("c1", "a2")},
+       |${update("a2", "c2")},
+       |${assign("c2", "a3")},
+       |${update("a3", "c3")},
+       |${assign("c3", "fin")}""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1878,6 +1930,36 @@ object SparkEntry {
         |  CAST(FLOOR(cos * 1e6 + 0.5) AS BIGINT) AS cos_q6,
         |  CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "embedding_kmeans" ->
+      // unrolled 3-iteration integer-grid Lloyd (see lloydCtes) — exact
+      s"""$lloydCtes
+         |SELECT vec_id, CAST(cid AS INT) AS cluster,
+         |       CAST(d2 AS BIGINT) AS dist2
+         |FROM fin ORDER BY vec_id""".stripMargin,
+    "embedding_semdedup" ->
+      // Lloyd chain + within-cluster integer cosine test: drop vec_b when a
+      // smaller-id cluster-mate has dot>0 and dot^2*25 >= 4*|a|^2*|b|^2
+      s"""$lloydCtes,
+         |n2 AS MATERIALIZED (
+         |  SELECT vec_id, SUM(v * v) AS n2 FROM qv GROUP BY 1),
+         |dots AS (
+         |  SELECT p1.vec_id AS vec_a, p2.vec_id AS vec_b,
+         |         SUM(qa.v * qb.v) AS dot
+         |  FROM fin p1 JOIN fin p2
+         |    ON p1.cid = p2.cid AND p1.vec_id < p2.vec_id
+         |  JOIN qv qa ON qa.vec_id = p1.vec_id
+         |  JOIN qv qb ON qb.vec_id = p2.vec_id AND qb.pos = qa.pos
+         |  GROUP BY 1, 2),
+         |dups AS (
+         |  SELECT DISTINCT d.vec_b AS vec_id
+         |  FROM dots d
+         |  JOIN n2 a ON a.vec_id = d.vec_a
+         |  JOIN n2 b ON b.vec_id = d.vec_b
+         |  WHERE d.dot > 0 AND d.dot * d.dot * 25 >= 4 * a.n2 * b.n2)
+         |SELECT f.vec_id, CAST(f.cid AS INT) AS cluster,
+         |       (d.vec_id IS NULL) AS kept
+         |FROM fin f LEFT JOIN dups d USING (vec_id)
+         |ORDER BY f.vec_id""".stripMargin,
     "ann_lsh_recall" ->
       // both pipelines re-derived (brute CTEs + LSH CTEs), then per-query
       // overlap of the two top-5 sets; recall_pct = hits × 20

@@ -1,0 +1,155 @@
+package graft.vectors
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed Lloyd k-means over the embedding column, on an INTEGER
+  * coordinate grid: every vector is quantized once to `floor(x·scale + 0.5)`
+  * longs, so all distances are exact 64-bit sums (order-free — immune to
+  * float summation-order drift across partitions AND across engines) and
+  * every centroid is the exact floor of the element-wise integer mean.
+  * This closes the gap `Similarity.ivfTopK` documents ("k-means training
+  * would not be cross-engine reproducible"): on the grid it is, bit for bit,
+  * so trained coarse centroids CAN back an IVF index deterministically.
+  *
+  * Deterministic Lloyd spec (matched exactly by the DuckDB oracle):
+  *   - init: the k lowest vec_ids' quantized vectors, cid = 0..k-1 in that
+  *     order (farthest-point init would also be deterministic here; lowest-id
+  *     keeps the oracle's unrolled SQL small).
+  *   - assign: argmin_c ||qv − qc||² with ties broken toward the smaller cid.
+  *   - update: per-coordinate floorDiv(Σ qvᵢ, n) over the cluster's members;
+  *     clusters that lose all members drop out (standard Lloyd detail).
+  *   - fixed iteration count (Lloyd on a finite grid converges; a fixed
+  *     budget keeps the superstep count data-independent, like PageRank's
+  *     `iters` mode).
+  *
+  * Scale shape: centroids are a k-row broadcast, so assignment is a
+  * broadcast-join scan — O(N·k·d) work, ZERO shuffle rows. The update
+  * posexplodes members to (cid, pos) and hash-aggregates: partial (map-side)
+  * combine reduces the shuffle to k·d rows per partition regardless of N.
+  * One real shuffle per iteration; centroid state is localCheckpointed so
+  * the plan stays constant-size across iterations (the Hits/PageRank
+  * pattern). At 10^9+ vectors the N×k candidate stream never materializes —
+  * it is a fold inside whole-stage codegen.
+  */
+object KMeans {
+
+  /** Embedding → exact integer grid: floor(x·scale + 0.5) per coordinate
+    * (float→double widening is exact; floor of a double is exact).
+    */
+  def quantize(vec: Column, scale: Int): Column =
+    transform(vec.cast("array<double>"),
+      x => floor(x * scale + lit(0.5)).cast("long"))
+
+  /** Σ (aᵢ−bᵢ)² as an exact integer column over two long-array columns. */
+  def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** floorDiv(s, n) for integer columns, written so Spark and DuckDB agree
+    * for negative sums: subtract pmod first so the quotient is exact, then
+    * divide (both engines produce the identical double — s−pmod(s,n) is a
+    * multiple of n and |s| stays far under 2^53: |coord| ≤ scale·|x|max and
+    * count < 2^31) and cast back to the integer grid.
+    */
+  private def floorDiv(s: Column, n: Column): Column =
+    ((s - pmod(s, n)) / n).cast("long")
+
+  /** Run `iters` Lloyd iterations with k = the lowest-vec_id seeds.
+    * Returns (vec_id, cluster, dist2) — dist2 the exact squared grid
+    * distance to the final centroid.
+    */
+  def lloyd(emb: DataFrame, k: Int, iters: Int, scale: Int = 1000): DataFrame = {
+    val q = emb.select(col("vec_id"),
+        quantize(col("embedding"), scale).as("qv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // cid 0..k-1 by ascending vec_id; the window runs over the k seed rows
+    // only (post-limit), never the corpus
+    var cents = q.orderBy("vec_id").limit(k)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1).as("cid"),
+        col("qv").as("cv"))
+      .localCheckpoint(true)
+
+    // pack the k centroids into ONE broadcast row; per-vector argmin is then
+    // array_min over (d2, cid) structs — struct ordering IS the tie rule —
+    // entirely inside codegen: assignment costs zero shuffle rows
+    def assign(c: DataFrame): DataFrame = {
+      val packed = c.agg(collect_list(struct(col("cid"), col("cv")))
+        .as("cents"))
+      q.crossJoin(broadcast(packed))
+        .select(col("vec_id"), col("qv"),
+          array_min(transform(col("cents"),
+            ct => struct(dist2(col("qv"), ct.getField("cv")).as("d2"),
+              ct.getField("cid").as("cid")))).as("m"))
+        .select(col("vec_id"), col("qv"),
+          col("m.cid").as("cid"), col("m.d2").as("d2"))
+    }
+
+    for (_ <- 1 to iters) {
+      val members = assign(cents)
+      cents = members
+        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos").agg(sum("v").as("s"), count(lit(1)).as("n"))
+        .withColumn("v", floorDiv(col("s"), col("n")))
+        .groupBy("cid")
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("v")))),
+          s => s.getField("v")).as("cv"))
+        .localCheckpoint(true)
+    }
+
+    val out = assign(cents)
+      .select(col("vec_id"), col("cid").as("cluster"), col("d2").as("dist2"))
+    q.unpersist(false)
+    out
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the corpus with [[lloyd]], then WITHIN each cluster mark as
+    * duplicate any vector whose cosine to a SMALLER-id cluster-mate meets
+    * `tau` (greedy keep-lowest-id — the paper keeps the member farthest
+    * from the centroid; lowest-id is the same dedup shape with a
+    * cross-engine-exact tie rule, deviation documented). The cosine test is
+    * exact integer arithmetic on the grid: cos(a,b) ≥ τ  ⇔  dot > 0 ∧
+    * dot²·den ≥ num·‖a‖²·‖b‖²  for τ² = num/den — no float division ever.
+    *
+    * Scale shape: candidate pairs are generated per cluster (the paper's
+    * point: k ∝ N bounds cluster sizes, so Σ|c|² stays near-linear), via a
+    * shuffle-join on the cluster id; skewed giant clusters would salt or
+    * cap exactly like the MinHash band join. Returns
+    * (vec_id, cluster, kept).
+    */
+  def semDedup(emb: DataFrame, k: Int, iters: Int,
+      tauNum: Long, tauDen: Long, scale: Int = 1000): DataFrame = {
+    val assigned = lloyd(emb, k, iters, scale)
+      .join(emb.select(col("vec_id"),
+        quantize(col("embedding"), scale).as("qv")), "vec_id")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n2 = (c: Column) =>
+      aggregate(c, lit(0L), (acc, v) => acc + v * v)
+    val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("qv").as("qa"))
+    val b = assigned.select(col("cluster"), col("vec_id").as("vec_b"),
+      col("qv").as("qb"))
+    val dotAb = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+    // the products run in decimal(38,0) — still exact integer arithmetic
+    // (dot ≤ d·(scale·|x|max)² stays far below 10^19, so dot²·den < 10^38),
+    // mirroring DuckDB's 128-bit HUGEINT sums; long² would overflow
+    val big = (c: Column) => c.cast("decimal(38,0)")
+    val dups = a.join(b, "cluster")
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_b"), dotAb.as("dot"),
+        n2(col("qa")).as("na2"), n2(col("qb")).as("nb2"))
+      .filter(col("dot") > 0 &&
+        big(col("dot")) * big(col("dot")) * lit(tauDen) >=
+          lit(tauNum) * big(col("na2")) * big(col("nb2")))
+      .select(col("vec_b").as("vec_id")).distinct()
+    assigned.select(col("vec_id"), col("cluster"))
+      .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("dup"), lit(false)).unary_!.as("kept"))
+  }
+}

@@ -99,4 +99,95 @@ class VectorSpec extends AnyFunSuite {
       .map(id => (id, id + 1000000L)).toSet
     assert(expected.subsetOf(pairs), s"missed ${expected -- pairs}")
   }
+
+  // ---- integer-grid Lloyd k-means + SemDeDup ------------------------------
+
+  /** Plain-Scala replica of the grid-Lloyd recurrence (the oracle shape):
+    * used to assert the distributed plan computes the identical fixpoint.
+    */
+  private def localLloyd(vecs: Map[Long, Array[Long]], k: Int,
+      iters: Int): Map[Long, (Int, Long)] = {
+    val seedIds = vecs.keys.toSeq.sorted.take(k)
+    var cents: Map[Int, Array[Long]] =
+      seedIds.zipWithIndex.map { case (id, i) => i -> vecs(id) }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => (a(i) - b(i)) * (a(i) - b(i))).sum
+    def assign(): Map[Long, (Int, Long)] = vecs.map { case (id, v) =>
+      id -> cents.toSeq.map { case (c, cv) => (d2(v, cv), c) }.min.swap
+    }
+    for (_ <- 1 to iters) {
+      val a = assign()
+      cents = a.groupBy(_._2._1).map { case (c, m) =>
+        val vs = m.keys.map(vecs).toSeq
+        c -> Array.tabulate(vs.head.length)(i =>
+          Math.floorDiv(vs.map(_(i)).sum, vs.size.toLong))
+      }
+    }
+    assign()
+  }
+
+  private def quantLocal(v: Seq[Float]): Array[Long] =
+    v.map(x => math.floor(x.toDouble * 1000 + 0.5).toLong).toArray
+
+  test("grid Lloyd equals the plain-Scala recurrence on real embeddings") {
+    val got = graft.vectors.KMeans.lloyd(emb, k = 5, iters = 3)
+      .select("vec_id", "cluster", "dist2").as[(Long, Int, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .collect().map { case (id, v) => id -> quantLocal(v) }.toMap
+    assert(got == localLloyd(vecs, k = 5, iters = 3))
+  }
+
+  test("Lloyd recovers well-separated planted clusters") {
+    // 3 tight groups on orthogonal axes; ids interleave groups so the
+    // k lowest-id seeds land one per group
+    val pts = for (g <- 0 until 3; i <- 0 until 8) yield {
+      val base = Array.fill(4)(0f); base(g) = 10f
+      base(3) = 0.1f * ((g * 8 + i) % 5) // deterministic jitter
+      ((g + 3L * i), base.toSeq)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val got = graft.vectors.KMeans.lloyd(df, k = 3, iters = 3)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    for (g <- 0 until 3) {
+      val members = pts.collect { case (id, v) if v(g) == 10f => id }
+      assert(members.map(got).toSet.size == 1,
+        s"group $g split: ${members.map(got)}")
+    }
+    assert(got.values.toSet.size == 3)
+  }
+
+  test("Lloyd tie-breaks toward the smaller cid and drops empty clusters") {
+    // identical duplicate seeds: every point ties → cluster 0; cluster 1
+    // loses all members after one update and drops out
+    val df = Seq((0L, Seq(1f, 1f)), (1L, Seq(1f, 1f)), (2L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val zeroIter = graft.vectors.KMeans.lloyd(df, k = 2, iters = 0)
+      .select("cluster").as[Int].collect().toSet
+    assert(zeroIter == Set(0))
+    val oneIter = graft.vectors.KMeans.lloyd(df, k = 2, iters = 1)
+      .select("cluster").as[Int].collect().toSet
+    assert(oneIter == Set(0))
+  }
+
+  test("semDedup drops exactly the planted duplicate, keeps the original") {
+    // loose clusters (mate cosine << tau), one exact-direction duplicate
+    val pts = (for (g <- 0 until 2; i <- 0 until 3) yield {
+      val base = Array.fill(4)(0f); base(g) = 10f
+      base(2 + g % 2) = 4f * i // spread: mate cosines top out ~0.96 < tau
+      ((g + 2L * i), base.toSeq)
+    }) :+ ((100L, Seq(10.002f, 0f, 0f, 0f))) // dup of vec 0, exact direction
+    val df = pts.toDF("vec_id", "embedding")
+    // tau^2 = 9801/10000 (cos >= 0.99): only the exact-direction pair hits
+    val out = graft.vectors.KMeans.semDedup(df, k = 2, iters = 2,
+      tauNum = 9801, tauDen = 10000)
+      .select("vec_id", "kept").as[(Long, Boolean)].collect().toMap
+    val dupPartner = pts.collect {
+      case (id, v) if id != 100L && v == Seq(10f, 0f, 0f, 0f) => id
+    }
+    assert(dupPartner.nonEmpty)
+    assert(out(100L) == false, "planted duplicate survived")
+    assert(dupPartner.forall(out), "original was dropped")
+    assert(out.count(!_._2) == 1, s"unexpected drops: ${out.filter(!_._2)}")
+  }
 }
