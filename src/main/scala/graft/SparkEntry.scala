@@ -608,6 +608,14 @@ object SparkEntry {
       // smaller-id cluster-mate at cos >= 0.4 (tau^2 = 4/25, integer-exact)
       graft.vectors.KMeans.semDedup(Tables(s, dir, "embeddings"),
         k = 10, iters = 3, tauNum = 4, tauDen = 25).orderBy("vec_id")),
+    "ann_ivf_trained_topk" -> ((s, dir) => {
+      // IVF over TRAINED (grid-Lloyd) coarse cells — same cell count /
+      // iterations as embedding_kmeans so the oracle reuses the Lloyd chain
+      val emb = Tables(s, dir, "embeddings")
+      graft.vectors.KMeans.ivfSearch(emb, emb.filter(col("vec_id") < 10),
+        k = 5, cells = 10, iters = 3, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "ann_lsh_recall" -> ((s, dir) => {
       // recall@5 of the LSH path against the exact brute-force top-5, per
       // query (VERDICT r2 item 6: makes the approximate path's quality claim
@@ -1960,6 +1968,49 @@ object SparkEntry {
          |       (d.vec_id IS NULL) AS kept
          |FROM fin f LEFT JOIN dups d USING (vec_id)
          |ORDER BY f.vec_id""".stripMargin,
+    "ann_ivf_trained_topk" ->
+      // Lloyd chain (shared CTEs) + integer probe ordering + exact rerank:
+      // the only floats are the final cosine's sqrt/×/÷ on identical ints
+      s"""$lloydCtes,
+         |n2 AS MATERIALIZED (
+         |  SELECT vec_id, SUM(v * v) AS n2 FROM qv GROUP BY 1),
+         |probes AS (
+         |  SELECT query_id, cid AS cell FROM (
+         |    SELECT query_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |                         ORDER BY d2, cid) AS rn
+         |    FROM (SELECT q.vec_id AS query_id, c.cid,
+         |                 SUM((q.v - c.v) * (q.v - c.v)) AS d2
+         |          FROM qv q JOIN c3 c USING (pos)
+         |          WHERE q.vec_id < 10 GROUP BY 1, 2))
+         |  WHERE rn <= 2),
+         |cand AS (
+         |  SELECT p.query_id, f.vec_id
+         |  FROM probes p JOIN fin f ON f.cid = p.cell
+         |  WHERE f.vec_id <> p.query_id),
+         |dots AS (
+         |  SELECT c.query_id, c.vec_id, SUM(qa.v * qb.v) AS dot
+         |  FROM cand c
+         |  JOIN qv qa ON qa.vec_id = c.vec_id
+         |  JOIN qv qb ON qb.vec_id = c.query_id AND qb.pos = qa.pos
+         |  GROUP BY 1, 2),
+         |sims AS (
+         |  SELECT d.query_id, d.vec_id,
+         |    CAST(d.dot AS DOUBLE) /
+         |      (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+         |      AS cos
+         |  FROM dots d
+         |  JOIN n2 a ON a.vec_id = d.vec_id
+         |  JOIN n2 b ON b.vec_id = d.query_id),
+         |r AS (
+         |  SELECT query_id, vec_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY cos DESC, vec_id) AS rank
+         |  FROM sims)
+         |SELECT query_id, vec_id,
+         |  CAST(FLOOR(cos * 1e6 + 0.5) AS BIGINT) AS cos_q6,
+         |  CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ann_lsh_recall" ->
       // both pipelines re-derived (brute CTEs + LSH CTEs), then per-query
       // overlap of the two top-5 sets; recall_pct = hits × 20

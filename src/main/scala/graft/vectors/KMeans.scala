@@ -57,40 +57,37 @@ object KMeans {
   private def floorDiv(s: Column, n: Column): Column =
     ((s - pmod(s, n)) / n).cast("long")
 
-  /** Run `iters` Lloyd iterations with k = the lowest-vec_id seeds.
-    * Returns (vec_id, cluster, dist2) — dist2 the exact squared grid
-    * distance to the final centroid.
+  /** Nearest-centroid assignment of quantized vectors (vec_id, qv) against
+    * a (cid, cv) centroid table: the k centroids are packed into ONE
+    * broadcast row, so the per-vector argmin is `array_min` over (d2, cid)
+    * structs — struct ordering IS the tie rule — entirely inside codegen:
+    * assignment costs zero shuffle rows. Returns (vec_id, qv, cid, d2).
     */
-  def lloyd(emb: DataFrame, k: Int, iters: Int, scale: Int = 1000): DataFrame = {
-    val q = emb.select(col("vec_id"),
-        quantize(col("embedding"), scale).as("qv"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  def assignTo(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val packed = cents.agg(collect_list(struct(col("cid"), col("cv")))
+      .as("cents"))
+    vecs.crossJoin(broadcast(packed))
+      .select(col("vec_id"), col("qv"),
+        array_min(transform(col("cents"),
+          ct => struct(dist2(col("qv"), ct.getField("cv")).as("d2"),
+            ct.getField("cid").as("cid")))).as("m"))
+      .select(col("vec_id"), col("qv"),
+        col("m.cid").as("cid"), col("m.d2").as("d2"))
+  }
 
+  /** Train `iters` Lloyd iterations over pre-quantized vectors; returns the
+    * final (cid, cv) centroid table (cid 0..k-1 seeded from the k lowest
+    * vec_ids; clusters that empty out drop).
+    */
+  def centroidsOf(q: DataFrame, k: Int, iters: Int): DataFrame = {
     // cid 0..k-1 by ascending vec_id; the window runs over the k seed rows
     // only (post-limit), never the corpus
     var cents = q.orderBy("vec_id").limit(k)
       .select((row_number().over(Window.orderBy("vec_id")) - 1).as("cid"),
         col("qv").as("cv"))
       .localCheckpoint(true)
-
-    // pack the k centroids into ONE broadcast row; per-vector argmin is then
-    // array_min over (d2, cid) structs — struct ordering IS the tie rule —
-    // entirely inside codegen: assignment costs zero shuffle rows
-    def assign(c: DataFrame): DataFrame = {
-      val packed = c.agg(collect_list(struct(col("cid"), col("cv")))
-        .as("cents"))
-      q.crossJoin(broadcast(packed))
-        .select(col("vec_id"), col("qv"),
-          array_min(transform(col("cents"),
-            ct => struct(dist2(col("qv"), ct.getField("cv")).as("d2"),
-              ct.getField("cid").as("cid")))).as("m"))
-        .select(col("vec_id"), col("qv"),
-          col("m.cid").as("cid"), col("m.d2").as("d2"))
-    }
-
     for (_ <- 1 to iters) {
-      val members = assign(cents)
-      cents = members
+      cents = assignTo(q, cents)
         .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
         .groupBy("cid", "pos").agg(sum("v").as("s"), count(lit(1)).as("n"))
         .withColumn("v", floorDiv(col("s"), col("n")))
@@ -99,9 +96,70 @@ object KMeans {
           s => s.getField("v")).as("cv"))
         .localCheckpoint(true)
     }
+    cents
+  }
 
-    val out = assign(cents)
+  /** Run `iters` Lloyd iterations with k = the lowest-vec_id seeds.
+    * Returns (vec_id, cluster, dist2) — dist2 the exact squared grid
+    * distance to the final centroid.
+    */
+  def lloyd(emb: DataFrame, k: Int, iters: Int, scale: Int = 1000): DataFrame = {
+    val q = emb.select(col("vec_id"),
+        quantize(col("embedding"), scale).as("qv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = assignTo(q, centroidsOf(q, k, iters))
       .select(col("vec_id"), col("cid").as("cluster"), col("d2").as("dist2"))
+    q.unpersist(false)
+    out
+  }
+
+  /** IVF top-k over TRAINED coarse cells — the payoff of grid-exact
+    * training: `Similarity.ivfTopK` had to fall back to sampled centroids
+    * ("k-means training would not be cross-engine reproducible"); on the
+    * integer grid it is, so this is the full IVF shape: Lloyd-trained cells,
+    * exact integer cell assignment and probe ordering, nprobe cells probed
+    * per query, members exactly reranked by cosine. The only float ops are
+    * the final cosine's sqrt/×/÷ — three correctly-rounded IEEE ops on
+    * identical integers in any engine, so even the rerank is reproducible.
+    *
+    * Scale shape: identical to ivfTopK (fixed-size broadcast centroid table,
+    * zero-shuffle assignment fold, per-query probe cost O(C + N·nprobe/C))
+    * plus the bounded Lloyd training cost up front.
+    */
+  def ivfSearch(corpus: DataFrame, queries: DataFrame, k: Int,
+      cells: Int, iters: Int, nprobe: Int, scale: Int = 1000): DataFrame = {
+    val q = corpus.select(col("vec_id"),
+        quantize(col("embedding"), scale).as("qv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cents = centroidsOf(q, cells, iters)
+    val assign = assignTo(q, cents)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val qs = queries.select(col("vec_id").as("query_id"),
+      quantize(col("embedding"), scale).as("quv"))
+    // top-nprobe cells per query by (d2, cid) — the query set is small, the
+    // centroid table a broadcast, so the window is per-query over `cells`
+    // rows
+    val wp = Window.partitionBy("query_id").orderBy(col("d2"), col("cid"))
+    val probes = qs.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("cid"),
+        dist2(col("quv"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("cid").as("cell"))
+    val n2 = (c: Column) => aggregate(c, lit(0L), (acc, v) => acc + v * v)
+    val dotQ = aggregate(zip_with(col("qv"), col("quv"), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+    val rer = probes.join(assign, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(q, "vec_id").join(qs, "query_id")
+      .select(col("query_id"), col("vec_id"),
+        (dotQ.cast("double") /
+          (sqrt(n2(col("qv")).cast("double")) *
+           sqrt(n2(col("quv")).cast("double")))).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    val out = rer.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"),
+        floor(col("cos") * 1e6 + 0.5).cast("long").as("cos_q6"), col("rank"))
     q.unpersist(false)
     out
   }

@@ -170,6 +170,28 @@ class VectorSpec extends AnyFunSuite {
     assert(oneIter == Set(0))
   }
 
+  test("trained-cell IVF: deterministic, planted duplicate is top-1") {
+    val qset = emb.filter(col("vec_id") < 10)
+    val got = graft.vectors.KMeans.ivfSearch(emb, qset, k = 5,
+      cells = 8, iters = 2, nprobe = 2)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect()
+    val again = graft.vectors.KMeans.ivfSearch(emb, qset, k = 5,
+      cells = 8, iters = 2, nprobe = 2)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect()
+    assert(got.toSet == again.toSet && got.nonEmpty)
+    // a 1.001-scaled copy shares its original's trained cell (identical
+    // direction, near-identical L2) and must surface as top-1
+    val planted = qset.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), x => x * lit(1.001f)).as("embedding"))
+    val corpus2 = emb.select("vec_id", "embedding").unionByName(planted)
+    val withDup = graft.vectors.KMeans.ivfSearch(corpus2, qset, k = 1,
+      cells = 8, iters = 2, nprobe = 2)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    (0L until 10L).foreach { q =>
+      assert(withDup(q) == q + 1000000L, s"query $q top-1 = ${withDup(q)}")
+    }
+  }
+
   test("semDedup drops exactly the planted duplicate, keeps the original") {
     // loose clusters (mate cosine << tau), one exact-direction duplicate
     val pts = (for (g <- 0 until 2; i <- 0 until 3) yield {
