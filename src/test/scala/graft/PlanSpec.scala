@@ -85,4 +85,14 @@ class PlanSpec extends AnyFunSuite {
       und.unpersist(false)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
+
+  test("k-means assignment = ZERO shuffles (broadcast fold, no N-row agg)") {
+    val emb = graft.core.Tables(spark, TestSessions.Sf0001, "embeddings")
+    val q = emb.select(col("vec_id"),
+      graft.vectors.KMeans.quantize(col("embedding"), 1000).as("qv"))
+    val cents = q.limit(3)
+      .select(monotonically_increasing_id().cast("int").as("cid"),
+        col("qv").as("cv")).localCheckpoint(true)
+    assert(shuffles(graft.vectors.KMeans.assignTo(q, cents)) == 0)
+  }
 }
