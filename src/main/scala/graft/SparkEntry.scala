@@ -655,6 +655,10 @@ object SparkEntry {
     "events_windowed" -> ((s, dir) =>
       graft.streaming.EventStream.windowedCountsBatch(Tables(s, dir, "events"))
         .orderBy(col("window_start"), col("event_type"))),
+    "events_sessionize" -> ((s, dir) =>
+      // native session_window, 24 h gap (≈8 events/session on this corpus)
+      graft.streaming.EventStream.sessionizeBatch(Tables(s, dir, "events"))
+        .orderBy(col("user_id"), col("session_start"))),
 
     // ---- FRAP provenance analytics (generated typed graphs, persisted to
     // a fixture so the DuckDB oracle re-runs the WL rounds on equal bytes) --
@@ -2138,6 +2142,29 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n,
         |  CAST(FLOOR(SUM(value) * 1e4 + 0.5) AS BIGINT) AS sum_value_q4
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      // session_window re-derived by the lag/gap recurrence: a new session
+      // starts when the microsecond gap to the previous event EXCEEDS 24 h
+      // (Spark merges windows that touch — next.ts == prev.ts + gap is one
+      // session; StreamingSpec pins this); session_end = last event + gap
+      """WITH m AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+        |            > 24::BIGINT * 3600 * 1000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, new_sess DESC ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m)
+        |SELECT user_id, MIN(ts) AS session_start,
+        |  MAX(ts) + INTERVAL 24 HOUR AS session_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(FLOOR(SUM(value) * 1e4 + 0.5) AS BIGINT) AS sum_value_q4
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }

@@ -40,6 +40,40 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value_q4"))
 
+  /** Gap-based sessionization via Spark's NATIVE `session_window` (Catalyst
+    * merging session windows, SPARK-10816): events of a user belong to one
+    * session while each gap to the next event is <= `gap` (touching windows
+    * merge — pinned by StreamingSpec); the window's end is last-event + gap. One hash shuffle on the grouping key, then a
+    * partition-local sort-merge of overlapping windows
+    * (`UpdatingSessionsIterator`) — sessions never cross partitions, so the
+    * shape holds at any number of users. Batch and streaming share this
+    * expression; [[sessionize]] is the watermarked streaming twin.
+    */
+  def sessionizeBatch(events: DataFrame, gap: String = "24 hours"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        floor(sum(col("value")) * 1e4 + 0.5).cast("long").as("sum_value_q4"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"),
+        col("sum_value_q4"))
+
+  /** Streaming sessionization: same session_window expression under a
+    * watermark — a session is emitted (append mode) once the watermark
+    * passes its end, so state per user is one open session, bounded by
+    * delay × arrival rate like [[dedupIngest]]'s.
+    */
+  def sessionize(events: DataFrame, gap: String = "24 hours",
+      delay: String = "1 hour"): DataFrame =
+    events.withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        floor(sum(col("value")) * 1e4 + 0.5).cast("long").as("sum_value_q4"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"),
+        col("sum_value_q4"))
+
   /** Streaming ingest dedup for a document pipeline: drop exact duplicates
     * (by content hash) arriving within the watermark delay of the original —
     * the streaming counterpart of [[graft.text.Dedup.exact]].

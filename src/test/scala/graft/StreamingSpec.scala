@@ -31,6 +31,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("streaming sessionization equals batch for watermark-closed sessions") {
+    val batchDf = EventStream.sessionizeBatch(spark.read.parquet(eventsDir))
+    val batch = batchDf
+      .select("user_id", "session_start", "session_end", "n_events",
+        "sum_value_q4")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Long)]
+      .collect().toSet
+    // append mode emits a session once the watermark passes its end; the
+    // final watermark stops at the stream's max event time, so parity holds
+    // exactly for sessions closed by then — the stream's tail stays open
+    val maxTs = spark.read.parquet(eventsDir)
+      .agg(max(col("ts"))).as[java.sql.Timestamp].head()
+    val streamed = EventStream.runOnce(spark, eventsDir,
+      df => EventStream.sessionize(df, delay = "0 seconds"),
+      "sessions", outputMode = "append")
+      .select("user_id", "session_start", "session_end", "n_events",
+        "sum_value_q4")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long, Long)]
+      .collect().toSet
+    val closed = batch.filter(s => !s._3.after(maxTs))
+    assert(streamed == closed, s"streamed ${streamed.size} closed ${closed.size}")
+    assert(streamed.nonEmpty && batch.exists(_._4 > 1))
+  }
+
+  test("sessionization: gap merge and boundary semantics (hand fixture)") {
+    // user 1: events at 0h, 10h, 20h (gaps < 24h → ONE session ending 44h);
+    // user 2: events at 0h and exactly 24h — windows TOUCH and Spark merges
+    // them: still ONE session (the boundary rule the oracle must mirror);
+    // user 3: events 1 second past the gap → TWO sessions
+    val t0 = java.time.Instant.parse("2026-01-01T00:00:00Z")
+    val rows = Seq((1L, 0L), (1L, 36000L), (1L, 72000L),
+      (2L, 0L), (2L, 86400L), (3L, 0L), (3L, 86401L))
+      .zipWithIndex.map { case ((u, s), i) =>
+        (i.toLong, java.sql.Timestamp.from(t0.plusSeconds(s)), u, "e", 1.0)
+      }
+    val df = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = EventStream.sessionizeBatch(df)
+      .select("user_id", "n_events").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    assert(got == Map(1L -> Seq(3L), 2L -> Seq(2L), 3L -> Seq(1L, 1L)))
+  }
+
   test("stateful per-user totals equal the batch groupBy") {
     val ds = spark.read.parquet(eventsPath)
       .select("event_id", "ts", "user_id", "event_type", "value")
