@@ -205,9 +205,11 @@ object KMeans {
         big(col("dot")) * big(col("dot")) * lit(tauDen) >=
           lit(tauNum) * big(col("na2")) * big(col("nb2")))
       .select(col("vec_b").as("vec_id")).distinct()
-    assigned.select(col("vec_id"), col("cluster"))
+    val out = assigned.select(col("vec_id"), col("cluster"))
       .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         coalesce(col("dup"), lit(false)).unary_!.as("kept"))
+    assigned.unpersist(false)
+    out
   }
 }
