@@ -21,8 +21,10 @@ class PlanSpec extends AnyFunSuite {
     }.size
 
   test("repetition filter pass = ZERO shuffles (pure corpus scan)") {
-    val docs = graft.core.Tables(spark, TestSessions.Sf0001, "documents")
-    assert(shuffles(graft.text.TextStats.repetition(docs)) == 0)
+    withoutAqe {
+      val docs = graft.core.Tables(spark, TestSessions.Sf0001, "documents")
+      assert(shuffles(graft.text.TextStats.repetition(docs)) == 0)
+    }
   }
 
   test("PageRank superstep from checkpointed state = exactly ONE shuffle") {
@@ -86,13 +88,31 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  private def withoutAqe[A](body: => A): A = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("sessionization = exactly ONE shuffle (merge is partition-local)") {
+    withoutAqe {
+      val events = graft.core.Tables(spark, TestSessions.Sf0001, "events")
+      assert(shuffles(
+        graft.streaming.EventStream.sessionizeBatch(events)) == 1)
+    }
+  }
+
   test("k-means assignment = ZERO shuffles (broadcast fold, no N-row agg)") {
-    val emb = graft.core.Tables(spark, TestSessions.Sf0001, "embeddings")
-    val q = emb.select(col("vec_id"),
-      graft.vectors.KMeans.quantize(col("embedding"), 1000).as("qv"))
-    val cents = q.limit(3)
-      .select(monotonically_increasing_id().cast("int").as("cid"),
-        col("qv").as("cv")).localCheckpoint(true)
-    assert(shuffles(graft.vectors.KMeans.assignTo(q, cents)) == 0)
+    withoutAqe {
+      val emb = graft.core.Tables(spark, TestSessions.Sf0001, "embeddings")
+      val q = emb.select(col("vec_id"),
+        graft.vectors.KMeans.quantize(col("embedding"), 1000).as("qv"))
+      val cents = q.limit(3)
+        .select(monotonically_increasing_id().cast("int").as("cid"),
+          col("qv").as("cv")).localCheckpoint(true)
+      // a broadcast-hash join plans no ShuffleExchange; the guard fails if
+      // the fold ever regresses to a shuffled join or an N-row aggregate
+      assert(shuffles(graft.vectors.KMeans.assignTo(q, cents)) == 0)
+    }
   }
 }
