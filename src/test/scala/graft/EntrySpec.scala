@@ -14,10 +14,11 @@ class EntrySpec extends AnyFunSuite {
     assert(ranks.head > 0.15)
   }
 
-  test("every query has either an oracle or a documented rows-only check") {
+  test("every query is oracle-checked — no rows-only cells") {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
-    assert(o.subsetOf(q), s"orphan oracles: ${o -- q}")
-    assert(q.size >= 38)
+    assert(o == q,
+      s"orphan oracles: ${o -- q}; oracle-less queries: ${q -- o}")
+    assert(q.size == 77, s"query count drifted: ${q.size}")
   }
 }
