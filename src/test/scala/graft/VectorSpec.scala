@@ -192,6 +192,29 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("trained-cell IVF with nprobe == cells is exhaustive (== brute force)") {
+    // probing every cell must recover exact search over the quantized grid:
+    // the candidate set is the whole corpus, so ranking == local brute force
+    val qset = emb.filter(col("vec_id") < 5)
+    val got = graft.vectors.KMeans.ivfSearch(emb, qset, k = 5,
+      cells = 6, iters = 2, nprobe = 6)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).map { case (q, xs) => q -> xs.sortBy(_._3).map(_._2).toSeq }
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .collect().map { case (id, v) => id -> quantLocal(v) }.toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      dot.toDouble / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+        math.sqrt(b.map(x => x * x).sum.toDouble))
+    }
+    val want = vecs.keys.filter(_ < 5).map { q =>
+      q -> vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1)
+    }.toMap
+    assert(got == want)
+  }
+
   test("semDedup drops exactly the planted duplicate, keeps the original") {
     // loose clusters (mate cosine << tau), one exact-direction duplicate
     val pts = (for (g <- 0 until 2; i <- 0 until 3) yield {
