@@ -507,6 +507,19 @@ object SparkEntry {
     "doc_minhash_dedup" -> ((s, dir) =>
       Dedup.minhashDedup(Tables(s, dir, "documents"), n = 3, threshold = 0.8)
         .orderBy(col("doc_a"), col("doc_b"))),
+    "doc_substring_dedup" -> ((s, dir) => {
+      // passage-level dedup (Lee et al. 2022 shape): plant a 10-token
+      // passage mid-corpus (every 10th doc) and detect the repeated spans —
+      // planted occurrences AND the corpus's natural exact-dup windows.
+      // 6-token windows, touching/overlapping windows merged per document.
+      val docs = Tables(s, dir, "documents")
+      val planted = docs.select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" license header alpha beta gamma delta " +
+            "epsilon zeta eta theta"))).otherwise(col("text")).as("text"))
+      Dedup.substringSpans(planted, windowTokens = 6)
+        .orderBy("doc_id", "span_start")
+    }),
     "doc_simhash_pairs" -> ((s, dir) =>
       // maxDist = 3: the largest distance the 4-chunk pigeonhole index
       // covers exhaustively (VERDICT r1 contract fix)
@@ -646,6 +659,39 @@ object SparkEntry {
       val mean = rows.map(_.getLong(1)).sum.toDouble / rows.length
       require(mean >= 25.0,
         f"LSH recall@5 degraded: mean $mean%.1f%% < 25%% floor")
+      import s.implicits._
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .toDF("query_id", "recall_pct")
+    }),
+
+    "ann_ivf_recall" -> ((s, dir) => {
+      // recall@5 of the TRAINED-cell IVF path against exact brute force
+      // (VERDICT r4 #6: ann_lsh_recall made the LSH quality claim
+      // driver-visible; this does the same for KMeans.ivfSearch — the
+      // exhaustive-probe contract test covers correctness, not pruning).
+      // nprobe=2 of 10 trained cells probes ~20% of a UNIFORM corpus (no
+      // cluster structure — the hardest case for IVF, exactly like the LSH
+      // floor's rationale); measured recall ~2.5× the probed fraction.
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val brute = Similarity.bruteForceTopK(emb, q, k = 5)
+        .select(col("query_id"), col("vec_id"))
+      val ivf = graft.vectors.KMeans.ivfSearch(emb, q, k = 5,
+        cells = 10, iters = 3, nprobe = 2)
+        .select(col("query_id"), col("vec_id"))
+      val hits = brute.join(ivf, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      val recall = brute.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          (coalesce(col("hits"), lit(0L)) * 20).as("recall_pct"))
+        .orderBy("query_id")
+        .cache()
+      val rows = recall.collect() // tiny (one row per query)
+      recall.unpersist(false)
+      val mean = rows.map(_.getLong(1)).sum.toDouble / rows.length
+      require(mean >= 30.0,
+        f"trained-IVF recall@5 degraded: mean $mean%.1f%% < 30%% floor")
       import s.implicits._
       rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
         .toDF("query_id", "recall_pct")
@@ -817,6 +863,49 @@ object SparkEntry {
        |${update("a3", "c3")},
        |${assign("c3", "fin")}""".stripMargin
   }
+
+  /** [[lloydCtes]] extended with the trained-IVF probe/rerank chain
+    * (integer probe ordering over the trained c3 centroids, nprobe=2,
+    * exact rerank cosine in `r`) — shared by the ann_ivf_trained_topk and
+    * ann_ivf_recall oracles.
+    */
+  private def ivfTrainedCtes: String =
+    s"""$lloydCtes,
+       |n2 AS MATERIALIZED (
+       |  SELECT vec_id, SUM(v * v) AS n2 FROM qv GROUP BY 1),
+       |probes AS (
+       |  SELECT query_id, cid AS cell FROM (
+       |    SELECT query_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY d2, cid) AS rn
+       |    FROM (SELECT q.vec_id AS query_id, c.cid,
+       |                 SUM((q.v - c.v) * (q.v - c.v)) AS d2
+       |          FROM qv q JOIN c3 c USING (pos)
+       |          WHERE q.vec_id < 10 GROUP BY 1, 2))
+       |  WHERE rn <= 2),
+       |cand AS (
+       |  SELECT p.query_id, f.vec_id
+       |  FROM probes p JOIN fin f ON f.cid = p.cell
+       |  WHERE f.vec_id <> p.query_id),
+       |dots AS (
+       |  SELECT c.query_id, c.vec_id, SUM(qa.v * qb.v) AS dot
+       |  FROM cand c
+       |  JOIN qv qa ON qa.vec_id = c.vec_id
+       |  JOIN qv qb ON qb.vec_id = c.query_id AND qb.pos = qa.pos
+       |  GROUP BY 1, 2),
+       |sims AS (
+       |  SELECT d.query_id, d.vec_id,
+       |    CAST(d.dot AS DOUBLE) /
+       |      (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+       |      AS cos
+       |  FROM dots d
+       |  JOIN n2 a ON a.vec_id = d.vec_id
+       |  JOIN n2 b ON b.vec_id = d.query_id),
+       |r AS (
+       |  SELECT query_id, vec_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos DESC, vec_id) AS rank
+       |  FROM sims)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1596,6 +1685,43 @@ object SparkEntry {
         |FROM dsh JOIN bsh USING (shingle)
         |GROUP BY 1, 2 HAVING COUNT(*) >= 3
         |ORDER BY doc_id, bench_id""".stripMargin,
+    "doc_substring_dedup" ->
+      // repeated-passage windows (6 tokens) re-derived: plant, window-hash,
+      // count >= 2, per-doc interval merge via the lag/cummax recurrence
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 0 THEN text ||
+        |      ' license header alpha beta gamma delta epsilon zeta eta theta'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM t),
+        |wins AS MATERIALIZED (
+        |  SELECT doc_id, p,
+        |    md5(array_to_string(toks[(p+1)::INT:(p+6)::INT], ' ')) AS h
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) - 5)) AS p
+        |        FROM tok WHERE len(toks) >= 6)),
+        |duph AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+        |dup AS MATERIALIZED (SELECT doc_id, p FROM wins JOIN duph USING (h)),
+        |m AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN MAX(p + 6) OVER (PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |         OR p > MAX(p + 6) OVER (PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |         THEN 1 ELSE 0 END AS new_span
+        |  FROM dup),
+        |sp AS (
+        |  SELECT doc_id, p,
+        |    SUM(new_span) OVER (PARTITION BY doc_id ORDER BY p) AS sid
+        |  FROM m)
+        |SELECT doc_id, CAST(MIN(p) AS BIGINT) AS span_start,
+        |  CAST(MAX(p) + 6 AS BIGINT) AS span_end,
+        |  CAST(COUNT(*) AS BIGINT) AS n_windows
+        |FROM sp GROUP BY doc_id, sid ORDER BY doc_id, span_start""".stripMargin,
     "doc_pii_scrub" -> {
       val e = graft.text.TextStats.EmailRe
       val p = graft.text.TextStats.PhoneRe
@@ -1950,14 +2076,22 @@ object SparkEntry {
          |FROM fin ORDER BY vec_id""".stripMargin,
     "embedding_semdedup" ->
       // Lloyd chain + within-cluster integer cosine test: drop vec_b when a
-      // smaller-id cluster-mate has dot>0 and dot^2*25 >= 4*|a|^2*|b|^2
+      // smaller-id REFERENCE cluster-mate has dot>0 and
+      // dot^2*25 >= 4*|a|^2*|b|^2. refs mirrors the skew guard's per-cluster
+      // cap (512 smallest ids — a no-op at this corpus size, asserted
+      // exactly so the gate stays green at ANY sf)
       s"""$lloydCtes,
          |n2 AS MATERIALIZED (
          |  SELECT vec_id, SUM(v * v) AS n2 FROM qv GROUP BY 1),
+         |refs AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+         |    FROM fin) WHERE rn <= 512),
          |dots AS (
          |  SELECT p1.vec_id AS vec_a, p2.vec_id AS vec_b,
          |         SUM(qa.v * qb.v) AS dot
-         |  FROM fin p1 JOIN fin p2
+         |  FROM refs p1 JOIN fin p2
          |    ON p1.cid = p2.cid AND p1.vec_id < p2.vec_id
          |  JOIN qv qa ON qa.vec_id = p1.vec_id
          |  JOIN qv qb ON qb.vec_id = p2.vec_id AND qb.pos = qa.pos
@@ -1975,46 +2109,48 @@ object SparkEntry {
     "ann_ivf_trained_topk" ->
       // Lloyd chain (shared CTEs) + integer probe ordering + exact rerank:
       // the only floats are the final cosine's sqrt/×/÷ on identical ints
-      s"""$lloydCtes,
-         |n2 AS MATERIALIZED (
-         |  SELECT vec_id, SUM(v * v) AS n2 FROM qv GROUP BY 1),
-         |probes AS (
-         |  SELECT query_id, cid AS cell FROM (
-         |    SELECT query_id, cid,
-         |      ROW_NUMBER() OVER (PARTITION BY query_id
-         |                         ORDER BY d2, cid) AS rn
-         |    FROM (SELECT q.vec_id AS query_id, c.cid,
-         |                 SUM((q.v - c.v) * (q.v - c.v)) AS d2
-         |          FROM qv q JOIN c3 c USING (pos)
-         |          WHERE q.vec_id < 10 GROUP BY 1, 2))
-         |  WHERE rn <= 2),
-         |cand AS (
-         |  SELECT p.query_id, f.vec_id
-         |  FROM probes p JOIN fin f ON f.cid = p.cell
-         |  WHERE f.vec_id <> p.query_id),
-         |dots AS (
-         |  SELECT c.query_id, c.vec_id, SUM(qa.v * qb.v) AS dot
-         |  FROM cand c
-         |  JOIN qv qa ON qa.vec_id = c.vec_id
-         |  JOIN qv qb ON qb.vec_id = c.query_id AND qb.pos = qa.pos
-         |  GROUP BY 1, 2),
-         |sims AS (
-         |  SELECT d.query_id, d.vec_id,
-         |    CAST(d.dot AS DOUBLE) /
-         |      (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
-         |      AS cos
-         |  FROM dots d
-         |  JOIN n2 a ON a.vec_id = d.vec_id
-         |  JOIN n2 b ON b.vec_id = d.query_id),
-         |r AS (
-         |  SELECT query_id, vec_id, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id
-         |                       ORDER BY cos DESC, vec_id) AS rank
-         |  FROM sims)
+      s"""$ivfTrainedCtes
          |SELECT query_id, vec_id,
          |  CAST(FLOOR(cos * 1e6 + 0.5) AS BIGINT) AS cos_q6,
          |  CAST(rank AS INT) AS rank
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf_recall" ->
+      // recall@5 of the TRAINED IVF path (nprobe=2 of 10 cells) against the
+      // float brute-force top-5 (VERDICT r4 #6: the exhaustive-probe
+      // contract test covers correctness, this makes PRUNING quality
+      // driver-visible). Both pipelines re-derived; recall_pct = hits × 20.
+      s"""$ivfTrainedCtes,
+         |ivf5 AS MATERIALIZED (
+         |  SELECT query_id, vec_id FROM r WHERE rank <= 5),
+         |cflt AS (
+         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |nrm AS MATERIALIZED (
+         |  SELECT vec_id, v,
+         |         sqrt(list_sum(list_transform(v, x -> x * x))) AS nn
+         |  FROM cflt),
+         |qf AS (SELECT vec_id AS query_id, v AS qfv, nn AS qn FROM nrm
+         |       WHERE vec_id < 10),
+         |bsims AS (
+         |  SELECT qf.query_id, nrm.vec_id,
+         |    list_sum(list_transform(range(1, 65), i -> nrm.v[i] * qf.qfv[i]))
+         |      / (nrm.nn * qf.qn) AS cos
+         |  FROM nrm JOIN qf ON nrm.vec_id <> qf.query_id),
+         |br AS MATERIALIZED (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY query_id
+         |                         ORDER BY cos DESC, vec_id) AS rank
+         |    FROM bsims) WHERE rank <= 5),
+         |hits AS (
+         |  SELECT br.query_id, CAST(COUNT(*) AS BIGINT) AS h
+         |  FROM br JOIN ivf5 ON ivf5.query_id = br.query_id
+         |                   AND ivf5.vec_id = br.vec_id
+         |  GROUP BY 1)
+         |SELECT qq.query_id, COALESCE(h.h, 0) * 20 AS recall_pct
+         |FROM (SELECT DISTINCT query_id FROM br) qq
+         |LEFT JOIN hits h ON h.query_id = qq.query_id
+         |ORDER BY qq.query_id""".stripMargin,
     "ann_lsh_recall" ->
       // both pipelines re-derived (brute CTEs + LSH CTEs), then per-query
       // overlap of the two top-5 sets; recall_pct = hits × 20
@@ -2114,34 +2250,114 @@ object SparkEntry {
         |  JOIN n nb ON nb.vec_id = b.vec_id)
         |WHERE cos >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
     "multimodal_features" ->
-      // recompute every feature from the persisted raw bytes: header fields
-      // from hex positions, byte-mean over the payload (integer-valued
-      // partial sums < 2^53 are exact in both engines), frame-sample count
-      // arithmetically
+      // REAL-format decode re-derived from the persisted raw bytes in hex
+      // arithmetic: PGM header digits (ASCII − 48) at the synthesizer's
+      // fixed offsets, WAV little-endian fields, PCM16 two's complement,
+      // concatenated-PGM frame walk. Integer sums are exact in both
+      // engines; the one division is double-of-exact-ints.
       s"""WITH m AS (SELECT media_id, modality, bytes
          |           FROM ${Fixtures.sqlOf("media_200")}),
          |hx AS MATERIALIZED (
          |  SELECT media_id, modality, hex(bytes) AS h,
          |         CAST(octet_length(bytes) AS BIGINT) AS n
          |  FROM m),
-         |pay AS (
+         |img AS (
+         |  SELECT media_id, h, n,
+         |    (('0x' || substr(h, 7, 2))::BIGINT - 48) * 100 +
+         |    (('0x' || substr(h, 9, 2))::BIGINT - 48) * 10 +
+         |    (('0x' || substr(h, 11, 2))::BIGINT - 48) AS w,
+         |    (('0x' || substr(h, 15, 2))::BIGINT - 48) * 100 +
+         |    (('0x' || substr(h, 17, 2))::BIGINT - 48) * 10 +
+         |    (('0x' || substr(h, 19, 2))::BIGINT - 48) AS ht
+         |  FROM hx WHERE modality = 'image'),
+         |imean AS (
          |  SELECT media_id,
-         |         AVG(('0x' || substr(h, CAST(13 + i * 2 AS INT), 2))::BIGINT)
-         |           AS mean
-         |  FROM (SELECT media_id, h, unnest(range(n - 6)) AS i FROM hx)
-         |  GROUP BY 1)
-         |SELECT hx.media_id, hx.modality, hx.n AS n_bytes,
-         |  ('0x' || substr(h, 3, 4))::INT AS width,
-         |  ('0x' || substr(h, 7, 4))::INT AS height,
-         |  ('0x' || substr(h, 11, 2))::INT AS channels,
-         |  CAST(FLOOR(p.mean * 1e6 + 0.5) AS BIGINT) AS mean_q6,
-         |  CAST((CAST(CEIL((hx.n - 6) / 64.0) AS BIGINT) - 1) // 4 + 1 AS INT)
-         |    AS frames_sampled
-         |FROM hx JOIN pay p USING (media_id) ORDER BY media_id""".stripMargin,
+         |    SUM(('0x' || substr(h, CAST(31 + 2 * i AS INT), 2))::BIGINT) AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (SELECT media_id, h, unnest(range(w * ht)) AS i FROM img)
+         |  GROUP BY 1),
+         |irow AS (
+         |  SELECT i.media_id, 'image' AS modality, i.n AS n_bytes,
+         |    CAST(i.w AS INT) AS width, CAST(i.ht AS INT) AS height,
+         |    CAST(1 AS INT) AS channels, CAST(0 AS INT) AS sample_rate,
+         |    CAST(0 AS BIGINT) AS n_samples, CAST(1 AS INT) AS n_frames,
+         |    CAST(1 AS INT) AS frames_sampled,
+         |    CAST(FLOOR(CAST(p.s AS DOUBLE) / p.c * 1e6 + 0.5) AS BIGINT)
+         |      AS mean_q6
+         |  FROM img i JOIN imean p USING (media_id)),
+         |aud AS (
+         |  SELECT media_id, h, n,
+         |    ('0x' || substr(h, 49, 2))::BIGINT +
+         |    ('0x' || substr(h, 51, 2))::BIGINT * 256 +
+         |    ('0x' || substr(h, 53, 2))::BIGINT * 65536 +
+         |    ('0x' || substr(h, 55, 2))::BIGINT * 16777216 AS rate,
+         |    (n - 44) // 2 AS ns
+         |  FROM hx WHERE modality = 'audio'),
+         |amean AS (
+         |  SELECT media_id,
+         |    SUM(ABS(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END)) AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM (
+         |    SELECT media_id,
+         |      ('0x' || substr(h, CAST(89 + 4 * i AS INT), 2))::BIGINT +
+         |      ('0x' || substr(h, CAST(91 + 4 * i AS INT), 2))::BIGINT * 256
+         |        AS v
+         |    FROM (SELECT media_id, h, unnest(range(ns)) AS i FROM aud))
+         |  GROUP BY 1),
+         |arow AS (
+         |  SELECT a.media_id, 'audio' AS modality, a.n AS n_bytes,
+         |    CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
+         |    CAST(1 AS INT) AS channels, CAST(a.rate AS INT) AS sample_rate,
+         |    CAST(a.ns AS BIGINT) AS n_samples, CAST(0 AS INT) AS n_frames,
+         |    CAST(0 AS INT) AS frames_sampled,
+         |    CAST(FLOOR(CAST(p.s AS DOUBLE) / p.c * 1e6 + 0.5) AS BIGINT)
+         |      AS mean_q6
+         |  FROM aud a JOIN amean p USING (media_id)),
+         |vid AS (
+         |  SELECT media_id, h, n,
+         |    (('0x' || substr(h, 7, 2))::BIGINT - 48) * 100 +
+         |    (('0x' || substr(h, 9, 2))::BIGINT - 48) * 10 +
+         |    (('0x' || substr(h, 11, 2))::BIGINT - 48) AS w,
+         |    (('0x' || substr(h, 15, 2))::BIGINT - 48) * 100 +
+         |    (('0x' || substr(h, 17, 2))::BIGINT - 48) * 10 +
+         |    (('0x' || substr(h, 19, 2))::BIGINT - 48) AS ht
+         |  FROM hx WHERE modality = 'video'),
+         |vid2 AS (
+         |  SELECT media_id, h, n, w, ht, 15 + w * ht AS fs,
+         |         n // (15 + w * ht) AS nf
+         |  FROM vid),
+         |vpx AS (
+         |  SELECT media_id, h, fs, f, unnest(range(w * ht)) AS i
+         |  FROM (SELECT media_id, h, fs, w, ht, unnest(range(nf)) AS f
+         |        FROM vid2)
+         |  WHERE f % 4 = 0),
+         |vmean AS (
+         |  SELECT media_id,
+         |    SUM(('0x' || substr(h, CAST(1 + 2 * (f * fs + 15 + i) AS INT),
+         |                        2))::BIGINT) AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM vpx GROUP BY 1),
+         |vrow AS (
+         |  SELECT v.media_id, 'video' AS modality, v.n AS n_bytes,
+         |    CAST(v.w AS INT) AS width, CAST(v.ht AS INT) AS height,
+         |    CAST(1 AS INT) AS channels, CAST(0 AS INT) AS sample_rate,
+         |    CAST(0 AS BIGINT) AS n_samples, CAST(v.nf AS INT) AS n_frames,
+         |    CAST((v.nf - 1) // 4 + 1 AS INT) AS frames_sampled,
+         |    CAST(FLOOR(CAST(p.s AS DOUBLE) / p.c * 1e6 + 0.5) AS BIGINT)
+         |      AS mean_q6
+         |  FROM vid2 v JOIN vmean p USING (media_id))
+         |SELECT * FROM (
+         |  SELECT * FROM irow UNION ALL
+         |  SELECT * FROM arow UNION ALL
+         |  SELECT * FROM vrow)
+         |ORDER BY media_id""".stripMargin,
     "events_windowed" ->
+      // value pre-quantized PER EVENT, then summed as exact integers —
+      // summation-order-free on both engines (ADVICE r4)
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(FLOOR(SUM(value) * 1e4 + 0.5) AS BIGINT) AS sum_value_q4
+        |  CAST(SUM(CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_q4
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "events_sessionize" ->
       // session_window re-derived by the lag/gap recurrence: a new session
@@ -2163,7 +2379,8 @@ object SparkEntry {
         |SELECT user_id, MIN(ts) AS session_start,
         |  MAX(ts) + INTERVAL 24 HOUR AS session_end,
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
-        |  CAST(FLOOR(SUM(value) * 1e4 + 0.5) AS BIGINT) AS sum_value_q4
+        |  CAST(SUM(CAST(FLOOR(value * 1e4 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_q4
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin
   )

@@ -3,80 +3,223 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
-  * with typed metadata, processed in partition-local batches.
+/** Multimodal-column processing: image/audio/video as opaque `binary`
+  * columns with typed metadata, decoded with REAL parsers of real
+  * codec-free formats (no external codec libraries needed — this retires
+  * the repo's last declared decode stub, VERDICT r4 #4):
   *
-  * The decode step is a clearly-marked deterministic STUB (no image/audio
-  * libraries exist in this container): `fakeDecode` parses a synthetic
-  * header instead of invoking a real codec. Everything around it — the
-  * schema contract, the binary column, partitioning, the per-partition
-  * batched processing shape (Scala's analog of `mapInPandas`: typed
-  * `mapPartitions` over an iterator of rows, amortizing per-batch setup) —
-  * is real and tested, so swapping in a real codec is a one-function change.
+  *  - image: binary PGM (Netpbm "P5") — ASCII header (magic, decimal
+  *    width/height/maxval, `#` comments) + raw 8-bit grayscale payload;
+  *  - audio: WAV — RIFF container walked chunk-by-chunk (word-aligned),
+  *    PCM16LE samples from the `data` chunk, format from `fmt `;
+  *  - video: a concatenated-PGM frame stream (what
+  *    `ffmpeg -f image2pipe -vcodec pgm` emits): consecutive P5 frames
+  *    parsed in a loop, every `frameStep`-th frame sampled.
+  *
+  * Decoding runs in partition-local batches (typed `mapPartitions` —
+  * Scala's analog of `mapInPandas`: per-partition setup amortized, rows
+  * streamed): binary parsing has no Column expression form, so this is a
+  * genuine Catalyst boundary. Compressed formats (JPEG/MP3/H.264) would
+  * swap in a codec call at exactly the per-row decode sites below; the
+  * schema, partitioning, and batch shape are unchanged.
+  *
+  * Every feature is an exact integer statistic (sums of byte/sample values
+  * and counts; the one division is double-of-exact-ints), so the DuckDB
+  * oracle recomputes all of them from the same raw bytes via hex
+  * arithmetic, bit for bit.
   */
 object Multimodal {
 
   final case class MediaRow(media_id: Long, modality: String, bytes: Array[Byte])
+
+  /** Per-modality features; fields not applicable to a modality are 0:
+    * image → width/height/channels/mean pixel; audio → channels/
+    * sample_rate/n_samples/mean |amplitude|; video → width/height/
+    * n_frames/frames_sampled/mean pixel over the sampled frames.
+    */
   final case class MediaFeatures(
       media_id: Long, modality: String, n_bytes: Long,
-      width: Int, height: Int, channels: Int,
-      mean_q6: Long, frames_sampled: Int)
+      width: Int, height: Int, channels: Int, sample_rate: Int,
+      n_samples: Long, n_frames: Int, frames_sampled: Int, mean_q6: Long)
 
-  /** Synthesize a deterministic media table from any id column: 1 row per
-    * id, binary payload with a parseable fake header
-    * [magic u8 | width u16 | height u16 | channels u8 | payload...].
+  // ---- encoders (deterministic synthetic media for tests/gates) ----------
+
+  /** One binary PGM image: `P5\n<www> <hhh>\n255\n` + w·h gray bytes.
+    * Width/height are zero-padded to 3 digits — still valid Netpbm decimal
+    * fields, and the fixed 15-byte header lets the SQL oracle read fields
+    * at constant offsets.
     */
-  def synthesize(spark: SparkSession, ids: DataFrame, idCol: String): Dataset[MediaRow] = {
+  private[graft] def pgmBytes(w: Int, h: Int,
+      pixel: Int => Int): Array[Byte] = {
+    require(w >= 1 && w <= 999 && h >= 1 && h <= 999)
+    val header = f"P5\n$w%03d $h%03d\n255\n".getBytes("US-ASCII")
+    header ++ Array.tabulate(w * h)(i => pixel(i).toByte)
+  }
+
+  /** One canonical 44-byte-header WAV file, PCM16LE mono. */
+  private[graft] def wavBytes(sampleRate: Int,
+      samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII"))
+      .putInt(16).putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate (mono 16-bit)
+      .putShort(2).putShort(16) // block align, bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Synthesize a deterministic media table from any id column: one row
+    * per id, modality by id mod 3 (image / audio / video), payloads pure
+    * functions of (id, position) so the oracle regenerates nothing — it
+    * decodes the persisted bytes.
+    */
+  def synthesize(spark: SparkSession, ids: DataFrame,
+      idCol: String): Dataset[MediaRow] = {
     import spark.implicits._
     ids.select(col(idCol).cast("long").as("media_id")).as[Long].map { id =>
-      val modality = (id % 3) match {
-        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      (id % 3) match {
+        case 0 =>
+          val w = (8 + id % 17).toInt
+          val h = (8 + id % 13).toInt
+          MediaRow(id, "image",
+            pgmBytes(w, h, i => ((id * 31 + i * 7) % 256).toInt))
+        case 1 =>
+          val n = (200 + id % 300).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 13 + i * 17) % 4096) - 2048).toShort)
+          MediaRow(id, "audio", wavBytes(8000, samples))
+        case _ =>
+          val frames = (2 + id % 5).toInt
+          val w = (8 + id % 9).toInt
+          val h = (8 + id % 7).toInt
+          val bytes = (0 until frames).toArray.flatMap(f =>
+            pgmBytes(w, h, i => ((id + f * 97 + i * 11) % 256).toInt))
+          MediaRow(id, "video", bytes)
       }
-      val w = (64 + (id * 37) % 192).toInt
-      val h = (64 + (id * 53) % 128).toInt
-      val c = (1 + id % 4).toInt
-      val payloadLen = 256 + (id % 512).toInt
-      val header = Array[Byte](
-        0x7F.toByte,
-        (w >> 8).toByte, (w & 0xFF).toByte,
-        (h >> 8).toByte, (h & 0xFF).toByte,
-        c.toByte)
-      val rnd = new java.util.Random(id)
-      val payload = Array.fill[Byte](payloadLen)((rnd.nextInt(256) - 128).toByte)
-      MediaRow(id, modality, header ++ payload)
     }
   }
 
-  /** STUB decode: parse the synthetic header. A real deployment replaces
-    * this one function with an actual codec call (e.g. JNI/ImageIO); it runs
-    * once per row inside the partition batch loop below.
+  // ---- decoders (real format parsers) -------------------------------------
+
+  /** Parse one binary PGM (P5) image starting at `off`: standard Netpbm
+    * lexing — magic, then whitespace-separated decimal width/height/maxval
+    * with `#`-to-end-of-line comments allowed between tokens, then exactly
+    * ONE whitespace byte, then width·height raw bytes. Returns
+    * (width, height, pixelOffset, nextOffset).
     */
-  private def fakeDecode(bytes: Array[Byte]): (Int, Int, Int) = {
-    require(bytes.length >= 6 && bytes(0) == 0x7F.toByte, "bad magic")
-    val w = ((bytes(1) & 0xFF) << 8) | (bytes(2) & 0xFF)
-    val h = ((bytes(3) & 0xFF) << 8) | (bytes(4) & 0xFF)
-    val c = bytes(5) & 0xFF
-    (w, h, c)
+  private[graft] def parsePgm(b: Array[Byte],
+      off: Int): (Int, Int, Int, Int) = {
+    require(b.length >= off + 2 && b(off) == 'P' && b(off + 1) == '5',
+      "bad PGM magic")
+    var i = off + 2
+    def skipWsAndComments(): Unit = {
+      var more = true
+      while (more) {
+        while (i < b.length && Character.isWhitespace(b(i))) i += 1
+        if (i < b.length && b(i) == '#') {
+          while (i < b.length && b(i) != '\n') i += 1
+        } else more = false
+      }
+    }
+    def int(): Int = {
+      skipWsAndComments()
+      require(i < b.length && b(i) >= '0' && b(i) <= '9', "expected digit")
+      var v = 0
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10 + (b(i) - '0'); i += 1
+      }
+      v
+    }
+    val w = int(); val h = int(); val maxv = int()
+    require(maxv > 0 && maxv < 256, s"unsupported PGM maxval $maxv")
+    require(i < b.length && Character.isWhitespace(b(i)),
+      "missing raster separator")
+    i += 1 // exactly one whitespace byte before the raster (Netpbm spec)
+    require(i + w * h <= b.length, "truncated PGM raster")
+    (w, h, i, i + w * h)
   }
 
-  /** Decode + feature-extract + frame-sample, partition-batched. Features:
-    * byte-mean of the payload (the stand-in for pixel statistics) and a
-    * deterministic frame sample count (every `frameStep`-th 64-byte block).
+  /** Walk a RIFF/WAVE container: returns (channels, sampleRate, dataOffset,
+    * nSamples) for PCM16. Chunks are scanned generically (ids + sizes,
+    * word-aligned), so files with extra chunks (LIST, fact, …) parse too.
     */
-  def extractFeatures(media: Dataset[MediaRow], frameStep: Int = 4): Dataset[MediaFeatures] = {
+  private[graft] def parseWav(b: Array[Byte]): (Int, Int, Int, Int) = {
+    def le32(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+    def le16(o: Int): Int = (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    def tag(o: Int): String = new String(b, o, 4, "US-ASCII")
+    require(b.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      "bad WAV magic")
+    var i = 12
+    var channels = -1; var rate = -1
+    var dataOff = -1; var dataLen = -1
+    while (i + 8 <= b.length && (dataOff < 0 || channels < 0)) {
+      val t = tag(i); val len = le32(i + 4)
+      if (t == "fmt ") {
+        require(le16(i + 8) == 1, "not PCM")
+        channels = le16(i + 10); rate = le32(i + 12)
+        require(le16(i + 22) == 16, "only PCM16 supported")
+      } else if (t == "data") { dataOff = i + 8; dataLen = len }
+      i += 8 + len + (len & 1) // RIFF chunks are word-aligned
+    }
+    require(channels > 0 && dataOff >= 0, "missing fmt /data chunk")
+    require(dataOff + dataLen <= b.length, "truncated WAV data")
+    (channels, rate, dataOff, dataLen / 2)
+  }
+
+  private def q6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+
+  /** Decode + feature-extract + frame-sample, partition-batched: PGM pixel
+    * mean, WAV mean |amplitude|, concatenated-PGM stream with every
+    * `frameStep`-th frame sampled.
+    */
+  def extractFeatures(media: Dataset[MediaRow],
+      frameStep: Int = 4): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition setup happens once (codec init in a real pipeline)
       rows.map { m =>
-        val (w, h, c) = fakeDecode(m.bytes)
-        val payload = m.bytes.drop(6)
-        val mean =
-          if (payload.isEmpty) 0.0
-          else payload.map(b => (b & 0xFF).toDouble).sum / payload.length
-        val frames = payload.grouped(64).zipWithIndex
-          .count { case (_, i) => i % frameStep == 0 }
-        MediaFeatures(m.media_id, m.modality, m.bytes.length.toLong,
-          w, h, c, math.floor(mean * 1e6 + 0.5).toLong, frames)
+        val nb = m.bytes.length.toLong
+        m.modality match {
+          case "image" =>
+            val (w, h, po, end) = parsePgm(m.bytes, 0)
+            var s = 0L; var i = po
+            while (i < end) { s += (m.bytes(i) & 0xFF); i += 1 }
+            MediaFeatures(m.media_id, m.modality, nb, w, h, 1, 0, 0L, 1, 1,
+              q6(s.toDouble / (w * h)))
+          case "audio" =>
+            val (ch, rate, off, n) = parseWav(m.bytes)
+            var s = 0L; var i = 0
+            while (i < n) {
+              val v = (m.bytes(off + 2 * i + 1).toInt << 8) |
+                (m.bytes(off + 2 * i) & 0xFF)
+              s += math.abs(v); i += 1
+            }
+            MediaFeatures(m.media_id, m.modality, nb, 0, 0, ch, rate,
+              n.toLong, 0, 0, if (n == 0) 0L else q6(s.toDouble / n))
+          case "video" =>
+            var off = 0; var f = 0; var sampled = 0
+            var s = 0L; var px = 0L; var w = 0; var h = 0
+            while (off < m.bytes.length) {
+              val (fw, fh, po, end) = parsePgm(m.bytes, off)
+              w = fw; h = fh
+              if (f % frameStep == 0) {
+                sampled += 1
+                var i = po
+                while (i < end) { s += (m.bytes(i) & 0xFF); i += 1 }
+                px += (end - po)
+              }
+              f += 1; off = end
+            }
+            MediaFeatures(m.media_id, m.modality, nb, w, h, 1, 0, 0L,
+              f, sampled, if (px == 0) 0L else q6(s.toDouble / px))
+          case other =>
+            throw new IllegalArgumentException(s"unknown modality $other")
+        }
       }
     }
   }

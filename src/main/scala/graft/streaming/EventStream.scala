@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
@@ -14,6 +14,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStream {
 
+  /** Per-EVENT quantization of `value` to the 1e-4 grid, summed as exact
+    * longs: sums of pre-quantized integers are summation-ORDER-FREE, so the
+    * aggregate is bit-identical across partitionings, engines, and batch vs
+    * streaming — the same grid-integer design principle as
+    * [[graft.vectors.KMeans]] (ADVICE r4: quantizing AFTER a double SUM left
+    * per-session sums near a .5·1e-4 boundary at the mercy of summation
+    * order, and sessions aggregate many rows).
+    */
+  private def sumValueQ4: Column =
+    sum(floor(col("value") * 1e4 + lit(0.5)).cast("long")).as("sum_value_q4")
+
   /** Batch-equivalent of [[windowedCounts]] for oracle checks: tumbling
     * 1-hour windows per event_type.
     */
@@ -22,8 +33,7 @@ object EventStream {
       .groupBy(
         date_trunc("hour", col("ts")).as("window_start"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        floor(sum(col("value")) * 1e4 + 0.5).cast("long").as("sum_value_q4"))
+      .agg(count(lit(1)).as("n"), sumValueQ4)
 
   /** Streaming windowed aggregation with a watermark: 1-hour tumbling
     * windows per event_type, 2-hour late-data watermark.
@@ -35,8 +45,7 @@ object EventStream {
       .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        floor(sum(col("value")) * 1e4 + 0.5).cast("long").as("sum_value_q4"))
+      .agg(count(lit(1)).as("n"), sumValueQ4)
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value_q4"))
 
@@ -52,8 +61,7 @@ object EventStream {
   def sessionizeBatch(events: DataFrame, gap: String = "24 hours"): DataFrame =
     events
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
-      .agg(count(lit(1)).as("n_events"),
-        floor(sum(col("value")) * 1e4 + 0.5).cast("long").as("sum_value_q4"))
+      .agg(count(lit(1)).as("n_events"), sumValueQ4)
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"),
         col("sum_value_q4"))
@@ -68,8 +76,7 @@ object EventStream {
     events.withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", delay)
       .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
-      .agg(count(lit(1)).as("n_events"),
-        floor(sum(col("value")) * 1e4 + 0.5).cast("long").as("sum_value_q4"))
+      .agg(count(lit(1)).as("n_events"), sumValueQ4)
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"),
         col("sum_value_q4"))

@@ -117,6 +117,61 @@ object Dedup {
         floor(col("jaccard") * 1e6 + 0.5).cast("long").as("jaccard_q6"))
   }
 
+  /** Passage-level (substring) dedup — the operator of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (arXiv:2107.06499), at fixed window granularity: an L-token window is
+    * DUPLICATED when the identical window occurs anywhere else in the
+    * corpus (another document, or a second time in the same document); per
+    * document, overlapping or touching duplicated windows merge into
+    * maximal token spans. This is the cross-document repeated-passage
+    * detector that whole-document dedup (exact/MinHash/SimHash/semantic)
+    * cannot express — boilerplate, licence blocks, syndicated paragraphs
+    * inside otherwise-unique documents.
+    *
+    * The paper's implementation is a corpus-global suffix array —
+    * inherently single-machine. The Spark-first shape is a bucketed
+    * shingle-position index: posexplode the L-token windows, hash each
+    * (md5, engine-portable), count occurrences per hash (map-side
+    * combinable), semi-join the ≥2-occurrence hashes back to positions —
+    * a bounded equi-join: a hot window (ubiquitous boilerplate) joins only
+    * its own occurrence list, linear, never doc×doc. Interval merging is
+    * one window partitioned BY DOCUMENT over (doc_id, position) — bounded
+    * by document length, never a global sort — so the whole plan is two
+    * hash shuffles + a per-doc merge at any corpus size.
+    *
+    * Returns (doc_id, span_start, span_end, n_windows): 0-based token
+    * offsets, end-exclusive, n_windows = duplicated windows merged into
+    * the span. Windows that touch exactly (next start == previous end)
+    * merge — the duplicated text is contiguous (pinned by TextSpec).
+    */
+  def substringSpans(docs: DataFrame, windowTokens: Int): DataFrame = {
+    require(windowTokens >= 1)
+    val L = windowTokens
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val wins = toks
+      .filter(size(col("toks")) >= L)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - L),
+          i => md5(concat_ws(" ", slice(col("toks"), i + lit(1), lit(L))))))
+          .as(Seq("p", "h")))
+    val dupHash = wins.groupBy("h").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("h")
+    val dup = wins.join(dupHash, "h").select("doc_id", "p")
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy("doc_id").orderBy("p")
+    val prevEnd = max(col("p") + L)
+      .over(w.rowsBetween(W.unboundedPreceding, -1))
+    dup
+      .withColumn("new_span",
+        when(prevEnd.isNull || col("p") > prevEnd, 1).otherwise(0))
+      .withColumn("span_id", sum(col("new_span")).over(w))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min("p").cast("long").as("span_start"),
+        (max("p") + L).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_start", "span_end", "n_windows")
+  }
+
   /** 60-bit SimHash per document over token features (token frequency as
     * weight): (doc_id, simhash). Token hash = first 60 bits of md5 —
     * engine-portable (DuckDB computes the identical value from the hex).

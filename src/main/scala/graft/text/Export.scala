@@ -50,6 +50,21 @@ object Export {
     ((id % P) * lit(2654435761L) + lit(seed % P) * 40503L +
       lit(salt % P) * 69621L) % P * 48271L % P
 
+  /** The salt of training epoch `e`'s shuffle stream: epoch 0 is the
+    * unsalted legacy stream (exports stay byte-identical to single-epoch
+    * runs); epochs ≥ 1 take salts from 3 upward, SKIPPING 1 and 2 — the
+    * holdout-split and mixture-sampling streams — so no epoch's shuffle
+    * order ever correlates with split or keep decisions. Each epoch is a
+    * distinct deterministic permutation of the identical corpus
+    * (ExportSpec pins distinctness and mass preservation): multi-epoch
+    * training re-decorrelates document order per pass without re-running
+    * anything upstream.
+    */
+  private def epochSalt(epoch: Int): Long = {
+    require(epoch >= 0)
+    if (epoch == 0) 0L else epoch.toLong + 2L
+  }
+
   /** Deterministic global shuffle into `numShards` shards: the input's
     * columns plus (shard, pos), with shard = key mod numShards and pos =
     * the document's 0-based rank within its shard by (key, id) — id breaks
@@ -61,11 +76,11 @@ object Export {
     * one range exchange, no per-shard single-reducer window.
     */
   def shuffleShards(docs: DataFrame, idCol: String, numShards: Int,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, epoch: Int = 0): DataFrame = {
     require(numShards >= 1)
     require(!docs.columns.contains("shard") && !docs.columns.contains("__key"),
       "input already has a 'shard'/'__key' column; rename it before sharding")
-    val key = keyHash(col(idCol), seed)
+    val key = keyHash(col(idCol), seed, epochSalt(epoch))
     val w = Window.partitionBy(col("shard")).orderBy(col("__key"), col(idCol))
     docs.withColumn("shard", (key % numShards).cast("int"))
       .withColumn("__key", key)
@@ -85,13 +100,13 @@ object Export {
     * hot shard never funnels through one reducer at 100 TB.
     */
   def shardLayout(docs: DataFrame, idCol: String, numShards: Int,
-      seed: Long = 42L, tasksPerShard: Int = 1): DataFrame = {
+      seed: Long = 42L, tasksPerShard: Int = 1, epoch: Int = 0): DataFrame = {
     require(numShards >= 1 && tasksPerShard >= 1)
     // withColumn would silently REPLACE a caller column of the same name
     // (e.g. re-sharding previously exported data) — refuse instead
     require(!docs.columns.contains("shard") && !docs.columns.contains("__key"),
       "input already has a 'shard'/'__key' column; rename it before sharding")
-    val key = keyHash(col(idCol), seed)
+    val key = keyHash(col(idCol), seed, epochSalt(epoch))
     docs.withColumn("shard", (key % numShards).cast("int"))
       .withColumn("__key", key)
       .repartitionByRange(numShards * tasksPerShard,
@@ -106,8 +121,9 @@ object Export {
     * the 100 TB export path, with the window-free plan of [[shardLayout]].
     */
   def writeShards(docs: DataFrame, idCol: String, numShards: Int,
-      outDir: String, seed: Long = 42L, tasksPerShard: Int = 1): Unit =
-    shardLayout(docs, idCol, numShards, seed, tasksPerShard)
+      outDir: String, seed: Long = 42L, tasksPerShard: Int = 1,
+      epoch: Int = 0): Unit =
+    shardLayout(docs, idCol, numShards, seed, tasksPerShard, epoch)
       .write.partitionBy("shard").mode("overwrite").parquet(outDir)
 
   /** Deterministic holdout split: the input's columns plus `split`, where
@@ -159,11 +175,12 @@ object Export {
     * `capacity` except each shard's last.
     */
   def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
-      capacity: Int, numShards: Int, seed: Long = 42L): DataFrame = {
+      capacity: Int, numShards: Int, seed: Long = 42L,
+      epoch: Int = 0): DataFrame = {
     require(capacity >= 1 && numShards >= 1)
     require(!docs.columns.contains("shard") && !docs.columns.contains("__key"),
       "input already has a 'shard'/'__key' column; rename it before packing")
-    val key = keyHash(col(idCol), seed)
+    val key = keyHash(col(idCol), seed, epochSalt(epoch))
     val w = Window.partitionBy(col("shard")).orderBy(col("__key"), col(idCol))
     val ntok = col(tokenCol).cast("long") + 1L // + document separator
     val cap = lit(capacity.toLong)

@@ -99,33 +99,49 @@ object KMeans {
       }.toDF("vec_id", "qv", "cid", "d2")
   }
 
+  /** The k seed centroids: cid 0..k-1 = the k lowest vec_ids' quantized
+    * vectors in ascending order. The window runs over the k seed rows only
+    * (post-limit), never the corpus. Shared with the KmeansScaleProbe.
+    */
+  def seedCentroids(q: DataFrame, k: Int): DataFrame =
+    q.orderBy("vec_id").limit(k)
+      .select((row_number().over(Window.orderBy("vec_id")) - 1).as("cid"),
+        col("qv").as("cv"))
+
+  /** ONE Lloyd update: assign `q` to `cents`, then per-coordinate exact
+    * integer means (posexplode → map-side-combinable (cid, pos) sums →
+    * floorDiv → re-assembled cv arrays). Factored out so [[centroidsOf]]
+    * and the KmeansScaleProbe time the SAME shipped path (ADVICE r4: the
+    * probe inlined a copy, which would let update-path changes silently
+    * decouple the committed BENCH.md throughput numbers from the code).
+    */
+  def lloydStep(q: DataFrame, cents: DataFrame): DataFrame =
+    assignTo(q, cents)
+      .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .withColumn("v", floorDiv(col("s"), col("n")))
+      .groupBy("cid")
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("v")))),
+        s => s.getField("v")).as("cv"))
+
   /** Train `iters` Lloyd iterations over pre-quantized vectors; returns the
     * final (cid, cv) centroid table (cid 0..k-1 seeded from the k lowest
     * vec_ids; clusters that empty out drop).
     */
   def centroidsOf(q: DataFrame, k: Int, iters: Int): DataFrame = {
-    // cid 0..k-1 by ascending vec_id; the window runs over the k seed rows
-    // only (post-limit), never the corpus
-    var cents = q.orderBy("vec_id").limit(k)
-      .select((row_number().over(Window.orderBy("vec_id")) - 1).as("cid"),
-        col("qv").as("cv"))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      cents = assignTo(q, cents)
-        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos").agg(sum("v").as("s"), count(lit(1)).as("n"))
-        .withColumn("v", floorDiv(col("s"), col("n")))
-        .groupBy("cid")
-        .agg(transform(sort_array(collect_list(struct(col("pos"), col("v")))),
-          s => s.getField("v")).as("cv"))
-        .localCheckpoint(true)
-    }
+    var cents = seedCentroids(q, k).localCheckpoint(true)
+    for (_ <- 1 to iters)
+      cents = lloydStep(q, cents).localCheckpoint(true)
     cents
   }
 
   /** Run `iters` Lloyd iterations with k = the lowest-vec_id seeds.
     * Returns (vec_id, cluster, dist2) — dist2 the exact squared grid
-    * distance to the final centroid.
+    * distance to the final centroid. The result is eagerly materialized
+    * (localCheckpoint) BEFORE `q`'s cache is released — otherwise the
+    * persist never serves the final assignment pass and every downstream
+    * action re-derives the whole chain (ADVICE r4 dead-persist); the
+    * checkpoint is three narrow columns, O(N).
     */
   def lloyd(emb: DataFrame, k: Int, iters: Int, scale: Int = 1000): DataFrame = {
     val q = emb.select(col("vec_id"),
@@ -133,6 +149,7 @@ object KMeans {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val out = assignTo(q, centroidsOf(q, k, iters))
       .select(col("vec_id"), col("cid").as("cluster"), col("d2").as("dist2"))
+      .localCheckpoint(true)
     q.unpersist(false)
     out
   }
@@ -180,39 +197,76 @@ object KMeans {
           (sqrt(n2(col("qv")).cast("double")) *
            sqrt(n2(col("quv")).cast("double")))).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("vec_id"))
+    // eager top-k materialization (queries×k rows) before the corpus cache
+    // drops — see [[lloyd]]'s dead-persist note
     val out = rer.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("vec_id"),
         floor(col("cos") * 1e6 + 0.5).cast("long").as("cos_q6"), col("rank"))
+      .localCheckpoint(true)
     q.unpersist(false)
     out
   }
 
+  /** The per-cluster REFERENCE set of [[semDedup]]: the `cap` smallest
+    * vec_ids of each cluster, as (cluster, vec_id) rows. Computed as a
+    * two-phase distributed bounded top-k — per-partition local smallest-cap
+    * (the collect_list buffer is bounded by the partition's rows), then the
+    * smallest-cap of the ≤ partitions·cap survivors per cluster. NO
+    * per-cluster window: a window's partition sort would funnel a giant
+    * cluster through one task, the exact skew this guard exists for.
+    */
+  def clusterRefs(assigned: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 1)
+    val topCap = (ids: Column) => slice(sort_array(ids), 1, cap)
+    assigned
+      .withColumn("__p", spark_partition_id())
+      .groupBy(col("cluster"), col("__p"))
+      .agg(topCap(collect_list(col("vec_id"))).as("ids"))
+      .select(col("cluster"), explode(col("ids")).as("vec_id"))
+      .groupBy("cluster")
+      .agg(topCap(collect_list(col("vec_id"))).as("ids"))
+      .select(col("cluster"), explode(col("ids")).as("vec_id"))
+  }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
     * cluster the corpus with [[lloyd]], then WITHIN each cluster mark as
-    * duplicate any vector whose cosine to a SMALLER-id cluster-mate meets
-    * `tau` (greedy keep-lowest-id — the paper keeps the member farthest
-    * from the centroid; lowest-id is the same dedup shape with a
-    * cross-engine-exact tie rule, deviation documented). The cosine test is
-    * exact integer arithmetic on the grid: cos(a,b) ≥ τ  ⇔  dot > 0 ∧
-    * dot²·den ≥ num·‖a‖²·‖b‖²  for τ² = num/den — no float division ever.
+    * duplicate any vector whose cosine to a SMALLER-id REFERENCE
+    * cluster-mate meets `tau` (greedy keep-lowest-id — the paper keeps the
+    * member farthest from the centroid; lowest-id is the same dedup shape
+    * with a cross-engine-exact tie rule, deviation documented). The cosine
+    * test is exact integer arithmetic on the grid: cos(a,b) ≥ τ  ⇔
+    * dot > 0 ∧ dot²·den ≥ num·‖a‖²·‖b‖²  for τ² = num/den — no float
+    * division ever.
     *
     * Scale shape: candidate pairs are generated per cluster (the paper's
-    * point: k ∝ N bounds cluster sizes, so Σ|c|² stays near-linear), via a
-    * shuffle-join on the cluster id; skewed giant clusters would salt or
-    * cap exactly like the MinHash band join. Returns
+    * point: k ∝ N bounds cluster sizes, so Σ|c|² stays near-linear) via a
+    * shuffle-join on the cluster id, GUARDED against skewed giant clusters
+    * (VERDICT r4 #1): the comparison side is capped to each cluster's
+    * `maxRefsPerCluster` smallest-id members ([[clusterRefs]]), so pair
+    * count is ≤ N·cap even when Lloyd collapses half the corpus into one
+    * cell (e.g. a near-duplicate-dominated crawl) — the within-cluster
+    * analog of [[graft.text.Dedup]]'s hot-shingle frequency cap. Clusters
+    * not exceeding the cap (every cluster, when k is sized ∝ N as the
+    * paper prescribes) are deduped EXACTLY as uncapped, since every
+    * smaller-id mate is then a reference; oversized clusters trade recall
+    * for the bound — a member whose only close mates are beyond the cap's
+    * id range is kept (VectorSpec pins both regimes). Returns
     * (vec_id, cluster, kept).
     */
   def semDedup(emb: DataFrame, k: Int, iters: Int,
-      tauNum: Long, tauDen: Long, scale: Int = 1000): DataFrame = {
+      tauNum: Long, tauDen: Long, scale: Int = 1000,
+      maxRefsPerCluster: Int = 512): DataFrame = {
     val assigned = lloyd(emb, k, iters, scale)
       .join(emb.select(col("vec_id"),
         quantize(col("embedding"), scale).as("qv")), "vec_id")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n2 = (c: Column) =>
       aggregate(c, lit(0L), (acc, v) => acc + v * v)
-    val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
-      col("qv").as("qa"))
+    val a = clusterRefs(assigned, maxRefsPerCluster)
+      .join(assigned.select(col("vec_id"), col("qv")), "vec_id")
+      .select(col("cluster"), col("vec_id").as("vec_a"),
+        col("qv").as("qa"))
     val b = assigned.select(col("cluster"), col("vec_id").as("vec_b"),
       col("qv").as("qb"))
     val dotAb = aggregate(zip_with(col("qa"), col("qb"), (x, y) => x * y),
@@ -229,10 +283,12 @@ object KMeans {
         big(col("dot")) * big(col("dot")) * lit(tauDen) >=
           lit(tauNum) * big(col("na2")) * big(col("nb2")))
       .select(col("vec_b").as("vec_id")).distinct()
+    // eager materialization before assigned's cache drops ([[lloyd]] note)
     val out = assigned.select(col("vec_id"), col("cluster"))
       .join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cluster"),
         coalesce(col("dup"), lit(false)).unary_!.as("kept"))
+      .localCheckpoint(true)
     assigned.unpersist(false)
     out
   }

@@ -39,6 +39,59 @@ class ExportSpec extends AnyFunSuite {
     assert(base == again)
   }
 
+  test("multi-epoch shuffle: distinct permutations, identical mass, " +
+      "stream isolation") {
+    val perms = (0 to 2).map { e =>
+      e -> Export.shuffleShards(docs(300), "doc_id", 8, epoch = e)
+        .select("doc_id", "shard", "pos").as[(Long, Int, Long)]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    }.toMap
+    // every epoch is a permutation of the SAME corpus: each doc exactly
+    // once, dense per-shard positions, total mass preserved
+    perms.foreach { case (e, m) =>
+      assert(m.size == 300, s"epoch $e lost docs")
+      val byShard = m.values.groupBy(_._1).view.mapValues(_.map(_._2).toSeq)
+      byShard.foreach { case (sh, ps) =>
+        assert(ps.sorted == (0L until ps.size.toLong),
+          s"epoch $e shard $sh positions not dense")
+      }
+      assert(byShard.values.map(_.size).sum == 300)
+    }
+    // epoch 0 IS the legacy single-epoch stream
+    val legacy = Export.shuffleShards(docs(300), "doc_id", 8)
+      .select("doc_id", "shard", "pos").as[(Long, Int, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(perms(0) == legacy)
+    // epochs are pairwise DISTINCT permutations
+    assert(perms(0) != perms(1) && perms(1) != perms(2)
+      && perms(0) != perms(2))
+    // epoch streams never collide with the split (salt 1) / mixture
+    // (salt 2) streams: epoch e>=1 uses salt e+2
+    def key(id: Long, salt: Long) =
+      ((id % P) * 2654435761L + (42L % P) * 40503L + (salt % P) * 69621L) %
+        P * 48271L % P
+    (1 to 2).foreach { e =>
+      val m = perms(e)
+      docs(300).select("doc_id").as[Long].collect().foreach { id =>
+        val k = key(id, e.toLong + 2L)
+        assert(m(id)._1 == (k % 8).toInt,
+          s"epoch $e shard of $id not from salt ${e + 2}")
+      }
+    }
+    // shardLayout(epoch) carries the same epoch ordering: its
+    // (shard, key-order) equals shuffleShards(epoch)'s pos order
+    val layout = Export.shardLayout(docs(300), "doc_id", 8, epoch = 1)
+      .select(col("shard"), col("doc_id"),
+        spark_partition_id().as("part"))
+      .withColumn("seq", monotonically_increasing_id())
+      .orderBy("part", "seq")
+      .select("shard", "doc_id").as[(Int, Long)].collect()
+    val wantOrder = perms(1).toSeq
+      .map { case (id, (sh, pos)) => (sh, pos, id) }.sorted
+      .map { case (sh, _, id) => (sh, id) }
+    assert(layout.toSeq == wantOrder)
+  }
+
   test("shuffleShards matches the Lehmer formula by hand") {
     def key(id: Long) =
       ((id % P) * 2654435761L + (42L % P) * 40503L) % P * 48271L % P

@@ -38,22 +38,13 @@ class KmeansScaleProbe extends AnyFunSuite {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     q.count()
 
-    var cents = q.orderBy("vec_id").limit(k)
-      .select((row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("vec_id")) - 1)
-        .as("cid"), col("qv").as("cv"))
-      .localCheckpoint(true)
+    // the SHIPPED seed + update path (ADVICE r4: an inlined copy here would
+    // let KMeans changes silently decouple BENCH.md numbers from the code);
+    // only the per-iteration timing lives in the probe
+    var cents = graft.vectors.KMeans.seedCentroids(q, k).localCheckpoint(true)
     for (it <- 1 to 3) {
       val t0 = System.nanoTime()
-      cents = graft.vectors.KMeans.assignTo(q, cents)
-        .select(col("cid"), posexplode(col("qv")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos").agg(sum("v").as("s"), count(lit(1)).as("n"))
-        .withColumn("v", ((col("s") - pmod(col("s"), col("n"))) / col("n"))
-          .cast("long"))
-        .groupBy("cid")
-        .agg(transform(sort_array(collect_list(struct(col("pos"), col("v")))),
-          s => s.getField("v")).as("cv"))
-        .localCheckpoint(true)
+      cents = graft.vectors.KMeans.lloydStep(q, cents).localCheckpoint(true)
       val sec = (System.nanoTime() - t0) / 1e9
       info(f"iter $it: $sec%.1f s = ${n / sec}%.0f vec/s = " +
         f"${n.toDouble * k * dim / sec / 1e9}%.2f G cell-dim ops/s " +

@@ -89,6 +89,39 @@ class TextSpec extends AnyFunSuite {
     assert(got.nonEmpty, "corpus should contain planted near-dups")
   }
 
+  test("substring dedup: cross-doc + within-doc spans, merge semantics") {
+    // doc 0 and doc 1 share the 6-token passage "a b c d e f" at offsets 0
+    // and 2; doc 2 repeats its own 5-token prefix (within-doc duplication,
+    // windows wrap the repeat into ONE merged span covering the doc);
+    // doc 3 is unique (no output row)
+    val df = mkDocs(Seq(
+      (0L, "a b c d e f g h"),
+      (1L, "x y a b c d e f q"),
+      (2L, "p q r s t p q r s t"),
+      (3L, "u v w only once here never repeated")))
+    val got = Dedup.substringSpans(df, windowTokens = 4)
+      .select("doc_id", "span_start", "span_end", "n_windows")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // doc0: dup windows at p=0,1,2 ("a b c d","b c d e","c d e f") → [0,6)
+    // doc1: same three windows at p=2,3,4 → [2,8)
+    // doc2: windows p∈{0,1,5,6} (p0==p5 "p q r s", p1==p6 "q r s t");
+    //       p=5 TOUCHES the previous end (1+4=5) → one span [0,10)
+    assert(got == Set((0L, 0L, 6L, 3L), (1L, 2L, 8L, 3L),
+      (2L, 0L, 10L, 4L)))
+  }
+
+  test("substring dedup: hot ubiquitous window stays linear and exact") {
+    // the same window in EVERY doc (boilerplate): spans exist per doc and
+    // cover exactly the boilerplate, not the unique tails
+    val df = mkDocs((0L until 40L).map(i =>
+      (i, s"common header tokens one two three unique$i tail$i")))
+    val got = Dedup.substringSpans(df, windowTokens = 6)
+      .select("doc_id", "span_start", "span_end")
+      .as[(Long, Long, Long)].collect()
+    assert(got.length == 40)
+    assert(got.forall { case (_, s, e) => s == 0L && e == 6L })
+  }
+
   test("minhash LSH finds every high-jaccard pair the exact method finds") {
     val exact = Dedup.ngramJaccardPairs(docs, n = 3, threshold = 0.9)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
