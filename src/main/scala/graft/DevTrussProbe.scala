@@ -22,25 +22,39 @@ object DevTrussProbe {
     val edges =
       if (scaleRun) spark.read.parquet(input.drop(8))
       else graft.core.LinkGraph.edges(spark, input)
-    var rounds = 0
-    val t0 = System.nanoTime()
-    // replicate kTruss but log per-round sizes
-    var cur = graft.algos.TriangleCount.canonicalEdges(edges)
-      .localCheckpoint(true)
-    var n = cur.count()
-    println(s"round 0: $n canonical edges")
-    var done = n == 0L
-    while (!done && rounds < 60) {
-      val next = graft.algos.Truss.kTrussRound(cur, k)
-      val m = next.count()
-      rounds += 1
-      println(s"round $rounds: $m edges (removed ${n - m})")
-      done = m == n
-      cur = next
-      n = m
+    val mode = if (args.length > 2) args(2) else "both"
+
+    if (mode == "recount" || mode == "both") {
+      var rounds = 0
+      val t0 = System.nanoTime()
+      // replicate kTruss but log per-round sizes
+      var cur = graft.algos.TriangleCount.canonicalEdges(edges)
+        .localCheckpoint(true)
+      var n = cur.count()
+      println(s"[recount] round 0: $n canonical edges")
+      var done = n == 0L
+      while (!done && rounds < 60) {
+        val next = graft.algos.Truss.kTrussRound(cur, k)
+        val m = next.count()
+        rounds += 1
+        println(s"[recount] round $rounds: $m edges (removed ${n - m})")
+        done = m == n
+        cur = next
+        n = m
+      }
+      println(f"[recount] k=$k truss: $n edges, $rounds rounds (incl. " +
+        f"fixpoint check), ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
-    println(f"k=$k truss: $n edges, $rounds rounds (incl. fixpoint check), " +
-      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+
+    if (mode == "decrement" || mode == "both") {
+      val t1 = System.nanoTime()
+      val out = graft.algos.Truss.kTrussDecremental(spark, edges, k,
+        perRound = (r, cnt, rm) =>
+          println(s"[decrement] round $r: $cnt edges ($rm below threshold)"))
+      val nd = out.count()
+      println(f"[decrement] k=$k truss: $nd edges, " +
+        f"${(System.nanoTime() - t1) / 1e9}%.1f s")
+    }
     spark.stop()
   }
 }

@@ -115,12 +115,13 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
     "ktruss" -> ((s, dir) => {
-      // 4-truss (every edge in >= 2 triangles of the subgraph): support
-      // peeling to fixpoint — 15 rounds measured at sf0.01 (DevTrussProbe:
-      // 187086 -> 66 canonical edges); budget 20 fails loudly on drift,
-      // matching the oracle's unrolled-round count
-      graft.algos.Truss.kTruss(s, LinkGraph.edges(s, dir), k = 4,
-          maxRounds = 20)
+      // 4-truss (every edge in >= 2 triangles of the subgraph) via the
+      // DECREMENTAL peel (count support once, subtract removed edges'
+      // triangles per round — measured faster than the full recount at
+      // 22 M edges, BENCH.md round-5): identical fixpoint to the recount
+      // plan (MoreAlgosSpec pins equality; the unrolled oracle pins both)
+      graft.algos.Truss.kTrussDecremental(s, LinkGraph.edges(s, dir), k = 4,
+          maxRounds = 25)
         .orderBy(col("u"), col("v"))
     }),
     "hits" -> ((s, dir) => {
@@ -334,6 +335,25 @@ object SparkEntry {
         .groupBy("ug", "ig")
         .agg(floor(avg("pred") + 0.5).cast("long").as("mean_pred"))
         .orderBy("ug", "ig")
+    }),
+    "timesvdpp_drift" -> ((s, _) => {
+      // planted antisymmetric temporal drift (Planted.temporalRatings):
+      // group-0 users rate −1/+1 at buckets 0/1, group-1 the opposite — the
+      // drift's mean is zero at every bucket, so neither a time bias nor
+      // any static model can fit it; integer-rounded per-(ug, ig, t) means
+      // equal the plant only if the user×time machinery learned the shift
+      // (MlSpec asserts the tighter MAE margin vs the static floor of 1)
+      val ratings = Fixtures.persist(s, "planted_temporal",
+        graft.core.Planted.temporalRatings(s))
+      val model = graft.cf.TimeSvdPlusPlus.train(ratings, rank = 2,
+        iters = 40, lr = 0.2, reg = 0.005)
+      graft.cf.TimeSvdPlusPlus.predict(model,
+        ratings.select("user", "item", "t"), ratings)
+        .select((col("user") / 20).cast("long").as("ug"),
+          (col("item") / 20).cast("long").as("ig"), col("t"), col("pred"))
+        .groupBy("ug", "ig", "t")
+        .agg(floor(avg("pred") + 0.5).cast("long").as("mean_pred"))
+        .orderBy("ug", "ig", "t")
     }),
     "adpredictor" -> ((s, _) => {
       // planted separable clicks: expected predict == y for every sample
@@ -1010,6 +1030,16 @@ object SparkEntry {
          |            AS BIGINT) AS mean_pred
          |FROM ${Fixtures.sqlOf("planted_ratings")}
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "timesvdpp_drift" ->
+      // expected = the planted block means SHIFTED by the antisymmetric
+      // drift (±1 by user group × bucket) — a static or bias-only model
+      // flattens t and fails the integer rounding
+      s"""SELECT "user" // 20 AS ug, item // 20 AS ig, t,
+         |  CAST(CASE WHEN "user" // 20 = item // 20 THEN 4 ELSE 2 END
+         |       + CASE WHEN "user" // 20 = 0 THEN 2 * t - 1
+         |              ELSE 1 - 2 * t END AS BIGINT) AS mean_pred
+         |FROM ${Fixtures.sqlOf("planted_temporal")}
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "adpredictor" ->
       // expected predict == y: the planted design is linearly separable and
       // the class features' posterior means carry the whole decision

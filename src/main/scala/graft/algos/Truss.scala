@@ -58,6 +58,84 @@ object Truss {
     next
   }
 
+  /** Decremental k-truss (VERDICT r4 #5): support is counted ONCE (the
+    * same degree-oriented pass as [[kTruss]]'s first round), then each
+    * peel round lists ONLY the triangles touching that round's removed
+    * edges and subtracts them from the survivors' supports, maintaining
+    * the invariant supp(e) = triangles of e within the current edge set —
+    * so the fixpoint is identical to the recount plan's (MoreAlgosSpec
+    * asserts set equality; the shared unrolled oracle pins both).
+    *
+    * Scale shape per round: a map-side-combinable degree count, then each
+    * removed edge expands from its LOWER-degree endpoint (Σ min-deg rows —
+    * the oriented-intersection work bound, as relational joins: no
+    * adjacency arrays, so hubs never build giant collect_lists) and the
+    * wedge closes against the current edge set with one hash join. Work is
+    * proportional to the REMOVED edges' triangle neighborhoods + an O(E)
+    * scan, where the recount plan pays the full Σ_E min-deg intersection
+    * every round. Small removal batches broadcast. BENCH.md records the
+    * measured A/B at 22 M edges.
+    */
+  def kTrussDecremental(spark: SparkSession, edges: DataFrame, k: Int,
+      maxRounds: Int = 200,
+      perRound: (Int, Long, Long) => Unit = (_, _, _) => ()): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    val e0 = TriangleCount.canonicalEdges(edges).localCheckpoint(true)
+    val (supp0, o0) = support(e0)
+    var cur = Dataflow.checkpointRebased(
+      e0.join(supp0, Seq("u", "v"), "left")
+        .select(col("u"), col("v"),
+          coalesce(col("supp"), lit(0L)).as("supp")))
+    o0.unpersist(false)
+    var round = 0
+    var nRemoved = cur.filter(col("supp") < k - 2).count()
+    while (nRemoved > 0) {
+      if (round >= maxRounds) throw new IllegalStateException(
+        s"k-truss did not converge in $maxRounds peel rounds")
+      perRound(round, cur.count(), nRemoved)
+      val removed = cur.filter(col("supp") < k - 2).select("u", "v")
+      val und = cur.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(cur.select(col("v").as("a"), col("u").as("b")))
+      val deg = und.groupBy(col("a").as("id")).agg(count(lit(1)).as("deg"))
+      // expand each removed edge from its lower-(degree, id) endpoint
+      val lower = struct(col("du"), col("u")) <= struct(col("dv"), col("v"))
+      val rdeg = removed
+        .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+        .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+        .select(col("u"), col("v"),
+          when(lower, col("u")).otherwise(col("v")).as("lo"),
+          when(lower, col("v")).otherwise(col("u")).as("hi"))
+      val rdegH = if (nRemoved <= 1000000L) broadcast(rdeg) else rdeg
+      val tris = rdegH
+        .join(und.select(col("a").as("lo"), col("b").as("w")), "lo")
+        .filter(col("w") =!= col("hi"))
+        .join(und.select(col("a").as("hi"), col("b").as("w")), Seq("hi", "w"))
+        .select(col("u"), col("v"), col("w"))
+      // canonical triangle id, deduping triangles hit by 2-3 removed edges
+      // (mid = sum − min − max: exact while ids stay below ~2^62/3, far
+      // above any vertex-id space this engine derives)
+      val tri = tris.select(
+          least(col("u"), col("v"), col("w")).as("x"),
+          (col("u") + col("v") + col("w")
+            - least(col("u"), col("v"), col("w"))
+            - greatest(col("u"), col("v"), col("w"))).as("y"),
+          greatest(col("u"), col("v"), col("w")).as("z"))
+        .distinct()
+      val dec = tri.select(col("x").as("u"), col("y").as("v"))
+        .unionAll(tri.select(col("x").as("u"), col("z").as("v")))
+        .unionAll(tri.select(col("y").as("u"), col("z").as("v")))
+        .groupBy("u", "v").agg(count(lit(1)).as("dec"))
+      cur = Dataflow.checkpointRebased(
+        cur.filter(col("supp") >= k - 2)
+          .join(dec, Seq("u", "v"), "left")
+          .select(col("u"), col("v"),
+            (col("supp") - coalesce(col("dec"), lit(0L))).as("supp")))
+      round += 1
+      nRemoved = cur.filter(col("supp") < k - 2).count()
+    }
+    cur.select("u", "v")
+  }
+
   /** Edges (u, v) of the k-truss of the undirected view of `edges`. */
   def kTruss(spark: SparkSession, edges: DataFrame, k: Int,
       maxRounds: Int = 50): DataFrame = {

@@ -140,6 +140,29 @@ object Planted {
             (col("item") / 20).cast("long"), 4.0d)
           .otherwise(2.0d).as("rating"))
 
+  /** Planted TEMPORAL block ratings for timeSVD++ verification: the static
+    * block means of [[blockRatings]] (4 within-group, 2 across) plus a
+    * user-group-ANTISYMMETRIC time drift — group-0 users rate −1 at bucket
+    * 0 and +1 at bucket 1, group-1 users the opposite. The drift's global
+    * mean is ZERO at every bucket, so a time bias alone cannot fit it (and
+    * a static model's best MAE on the drift part is exactly 1): recovering
+    * the per-(user-group, item-group, bucket) means requires the user×time
+    * interaction terms. Every (user, item) pair is rated at BOTH buckets.
+    * Output: (user, item, t, rating), ratings ∈ {1, 3, 5}.
+    */
+  def temporalRatings(spark: SparkSession): DataFrame =
+    spark.range(0, 3200, 1, 8).select(
+      ((col("id") / 2) / 40).cast("long").as("user"),
+      ((col("id") / 2) % 40).cast("long").as("item"),
+      (col("id") % 2).cast("long").as("t"))
+      .select(col("user"), col("item"), col("t"),
+        (when((col("user") / 20).cast("long") ===
+            (col("item") / 20).cast("long"), lit(4.0)).otherwise(lit(2.0))
+          + when(col("user") < 20,
+              col("t").cast("double") * 2.0 - 1.0)
+            .otherwise(lit(1.0) - col("t").cast("double") * 2.0))
+          .as("rating"))
+
   /** Planted low-rank matrix for SVD verification: `nBlocks` rank-1 blocks
     * with disjoint row AND column supports, so the full matrix's singular
     * values are exactly the per-block Frobenius norms

@@ -63,6 +63,36 @@ class MlSpec extends AnyFunSuite {
     }
   }
 
+  test("timeSVD++: antisymmetric temporal drift is recovered per bucket") {
+    val ratings = Fixtures.persist(spark, "planted_temporal",
+      Planted.temporalRatings(spark))
+    val model = graft.cf.TimeSvdPlusPlus.train(ratings, rank = 2, iters = 40,
+      lr = 0.2, reg = 0.005)
+    val pred = graft.cf.TimeSvdPlusPlus.predict(model,
+      ratings.select("user", "item", "t"), ratings)
+      .join(ratings, Seq("user", "item", "t"))
+    // the drift's mean is zero at every bucket, so ANY t-independent
+    // predictor (static SVD++, bias-only, per-(u,i) mean) has MAE >= 1 on
+    // this plant; the temporal terms must beat that floor decisively
+    val mae = pred.agg(avg(abs(col("pred") - col("rating"))))
+      .head().getDouble(0)
+    assert(mae < 0.35, f"temporal MAE $mae%.3f (static floor is 1.0)")
+    // per-(user-group, bucket) means recover the planted ±1 shift
+    val byCell = pred
+      .select((col("user") / 20).cast("long").as("ug"),
+        (col("item") / 20).cast("long").as("ig"), col("t"), col("pred"))
+      .groupBy("ug", "ig", "t").agg(avg("pred").as("m"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2, r._3) -> r._4).toMap
+    for (ug <- 0L to 1L; ig <- 0L to 1L; t <- 0L to 1L) {
+      val drift = if (ug == 0L) 2 * t - 1 else 1 - 2 * t
+      val want = (if (ug == ig) 4.0 else 2.0) + drift
+      val gotM = byCell((ug, ig, t))
+      assert(math.abs(gotM - want) < 0.35,
+        s"cell ($ug,$ig,t=$t): mean pred $gotM vs planted $want")
+    }
+  }
+
   test("svd++: predict falls back gracefully for unseen users") {
     val ratings = Planted.blockRatings(spark).filter(col("user") < 39)
     val model = SvdPlusPlus.train(ratings, rank = 2, iters = 5)

@@ -202,4 +202,27 @@ class MoreAlgosSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(t4d == t4)
   }
+
+  test("decremental k-truss equals the recount plan everywhere") {
+    val k5 = for (i <- 0L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val extra = Seq((10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L), (21L, 22L),
+      (4L, 10L), (4L, 13L), (10L, 13L))
+    val edges = (k5 ++ extra).toDF("src", "dst")
+      .withColumn("weight", lit(1.0))
+    for (k <- Seq(3, 4, 5)) {
+      val rec = graft.algos.Truss.kTruss(spark, edges, k)
+        .as[(Long, Long)].collect().toSet
+      val dec = graft.algos.Truss.kTrussDecremental(spark, edges, k)
+        .as[(Long, Long)].collect().toSet
+      assert(dec == rec, s"k=$k: decremental != recount")
+    }
+    // and on the real derived link graph (multi-round peel, support > 0)
+    val lg = graft.core.LinkGraph.edges(spark, TestSessions.Sf0001)
+    val rec4 = graft.algos.Truss.kTruss(spark, lg, k = 4)
+      .as[(Long, Long)].collect().toSet
+    val dec4 = graft.algos.Truss.kTrussDecremental(spark, lg, k = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(dec4 == rec4 && rec4.nonEmpty)
+  }
 }
