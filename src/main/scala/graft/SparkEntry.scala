@@ -519,6 +519,11 @@ object SparkEntry {
       TextStats.quality(Tables(s, dir, "documents")).orderBy(col("doc_id"))),
     "doc_repetition" -> ((s, dir) =>
       TextStats.repetition(Tables(s, dir, "documents")).orderBy(col("doc_id"))),
+    "doc_lm_perplexity" -> ((s, dir) =>
+      // CCNet-style corpus-trained bigram-LM NLL scoring; per-term q6
+      // quantization before the integer sum keeps it order-free
+      TextStats.lmPerplexity(Tables(s, dir, "documents"))
+        .orderBy(col("doc_id"))),
     "doc_fingerprint" -> ((s, dir) =>
       TextStats.fingerprints(Tables(s, dir, "documents")).orderBy(col("doc_id"))),
     "doc_ngram_jaccard" -> ((s, dir) =>
@@ -1655,6 +1660,37 @@ object SparkEntry {
         |FROM t LEFT JOIN top2 USING (doc_id) LEFT JOIN d3 USING (doc_id)
         |  JOIN dt ON dt.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    "doc_lm_perplexity" ->
+      // add-one bigram LM trained on the corpus; per-term ln quantized to
+      // 1e-6 as BIGINT BEFORE summation (order-free on both engines)
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END,
+        |      w -> length(w) >= 2) AS toks
+        |  FROM documents),
+        |p AS MATERIALIZED (
+        |  SELECT doc_id, pr.v AS v, pr.nx AS nx FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> struct_pack(v := toks[i], nx := toks[i + 1]))) AS pr
+        |    FROM t WHERE len(toks) >= 2)),
+        |bg AS (SELECT v, nx, COUNT(*) AS cvw FROM p GROUP BY 1, 2),
+        |pf AS (SELECT v, SUM(cvw) AS cv FROM bg GROUP BY 1),
+        |vo AS (SELECT COUNT(DISTINCT w) AS vv
+        |       FROM (SELECT unnest(toks) AS w FROM t)),
+        |sc AS (
+        |  SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(-SUM(CAST(FLOOR(ln((bg.cvw + 1)
+        |        / CAST(pf.cv + vo.vv AS DOUBLE)) * 1e6 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS nll_q6
+        |  FROM p JOIN bg USING (v, nx) JOIN pf USING (v) CROSS JOIN vo
+        |  GROUP BY 1)
+        |SELECT d.doc_id,
+        |  COALESCE(sc.n_pairs, 0) AS n_pairs,
+        |  COALESCE(sc.nll_q6, 0) AS nll_q6,
+        |  COALESCE(sc.nll_q6 // sc.n_pairs, 0) AS mean_nll_q6
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       """WITH t AS (
         |  SELECT doc_id, md5(text) AS text_md5,

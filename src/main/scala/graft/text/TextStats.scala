@@ -162,4 +162,70 @@ object TextStats {
       regexp_count(deEmailed, lit(PhoneRe)).cast("long").as("n_phones"),
       md5(regexp_replace(deEmailed, PhoneRe, "<PHONE>")).as("scrubbed_md5"))
   }
+
+  /** CCNet-style n-gram language-model quality scoring: train an add-one
+    * smoothed bigram LM on the corpus itself, score each document by its
+    * per-token negative log-likelihood. CCNet (Wenzek et al. 2020) filters
+    * CommonCrawl by exactly this statistic (they train KenLM on a clean
+    * corpus; the smoothed-bigram core is the same computation), and it is
+    * the one classic quality filter the pipeline lacked next to the
+    * heuristic [[quality]] rules.
+    *
+    * Returns (doc_id, n_pairs, nll_q6, mean_nll_q6): `n_pairs` adjacent
+    * token bigrams, `nll_q6` = −Σ q6(ln P(wᵢ|wᵢ₋₁)) with each TERM quantized
+    * to 1e-6 BEFORE the sum — integer summation is order-free, so the result
+    * is bit-stable across partitionings and engines (the grid-Lloyd
+    * principle); `mean_nll_q6 = nll_q6 / n_pairs` (both non-negative, so
+    * truncating division is floor division). P(w|v) = (c(vw)+1)/(c(v·)+V)
+    * where c(v·) is v's bigram-prefix count and V the vocabulary size, so
+    * probabilities normalize exactly. Docs with < 2 tokens score 0.
+    *
+    * Shape at 100 TB: the pair stream is a zero-shuffle array transform of
+    * the token scan; training is ONE map-side-combinable groupBy(v, w) (the
+    * prefix table c(v·) re-aggregates the bigram table — vocabulary-sized,
+    * never a second corpus pass); scoring joins the pair stream against the
+    * bigram-count dictionary (equi-join on (v, w), AQE picks broadcast vs
+    * shuffle-hash from runtime stats) and ends in a map-side-combinable
+    * groupBy(doc_id). Two corpus-sized shuffles total; V rides along as a
+    * broadcast 1-row frame.
+    */
+  def lmPerplexity(docs: DataFrame): DataFrame = {
+    val ws = filter(tokens(col("text")), t => length(t) >= 2)
+    // adjacent pairs straight off the token array: no positional self-join.
+    // The < 2-token guard matters: Spark's sequence(1, 0) DESCENDS ([1, 0]),
+    // it is not empty — the un-elsed when yields null and explode skips it.
+    val pairs = docs
+      .select(col("doc_id"), ws.as("w"))
+      .select(col("doc_id"), explode(when(size(col("w")) >= 2,
+        transform(sequence(lit(1), size(col("w")) - 1),
+          i => struct(element_at(col("w"), i).as("v"),
+            element_at(col("w"), i + 1).as("nx"))))).as("p"))
+      .select(col("doc_id"), col("p.v").as("v"), col("p.nx").as("nx"))
+
+    val bigrams = pairs.groupBy(col("v"), col("nx"))
+      .agg(count(lit(1)).as("cvw"))
+    val prefixes = bigrams.groupBy(col("v"))
+      .agg(sum(col("cvw")).as("cv"))
+    val vocabRow = docs
+      .select(explode(ws).as("word")).agg(count_distinct(col("word")).as("vv"))
+
+    val termQ6 = floor(
+      log((col("cvw") + 1).cast("double") / (col("cv") + col("vv"))) * 1e6
+        + 0.5).cast("long")
+    val scored = pairs
+      .join(bigrams, Seq("v", "nx"))
+      .join(prefixes, Seq("v"))
+      .crossJoin(broadcast(vocabRow))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_pairs"), (-sum(termQ6)).as("nll_q6"))
+
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("nll_q6"), lit(0L)).as("nll_q6"),
+        when(col("n_pairs").isNotNull,
+          (col("nll_q6") / col("n_pairs")).cast("long"))
+          .otherwise(0L).as("mean_nll_q6"))
+  }
 }

@@ -239,6 +239,35 @@ class TextSpec extends AnyFunSuite {
     assert(thr == Set((1L, 2L, 3L), (2L, 3L, 2L)))
   }
 
+  test("bigram LM NLL matches a hand-computed add-one model") {
+    // vocab {aa, bb, cc, zz} (V = 4; the 1-char token is dropped by the
+    // len >= 2 filter); bigrams (aa,bb)x3, (bb,aa)x1, (bb,cc)x1 -> prefix
+    // counts aa:3, bb:2
+    val d = mkDocs(Seq(
+      1L -> "aa bb aa bb",   // pairs (aa,bb) (bb,aa) (aa,bb)
+      2L -> "aa bb cc",      // pairs (aa,bb) (bb,cc)
+      3L -> "zz",            // single token: no pairs
+      4L -> "x",             // filtered to empty
+      5L -> ""))             // empty
+    def q6(p: Double) = math.floor(math.log(p) * 1e6 + 0.5).toLong
+    val pAaBb = q6(4.0 / 7.0)  // (3+1)/(3+4)
+    val pBbX = q6(2.0 / 6.0)   // (1+1)/(2+4), both (bb,aa) and (bb,cc)
+    val want = Map(
+      1L -> ((3L, -(2 * pAaBb + pBbX))),
+      2L -> ((2L, -(pAaBb + pBbX))),
+      3L -> ((0L, 0L)), 4L -> ((0L, 0L)), 5L -> ((0L, 0L)))
+    val got = TextStats.lmPerplexity(d)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == want)
+    // mean = truncating division of non-negative longs
+    val means = TextStats.lmPerplexity(d)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(means == want.map { case (k, (n, s)) =>
+      k -> (if (n > 0) s / n else 0L) })
+  }
+
   test("mutual information: zero when independent, H(X) when determined") {
     import graft.text.FeatureStats
     // independent: every (x, y) combination equally frequent
