@@ -524,6 +524,18 @@ object SparkEntry {
       // quantization before the integer sum keeps it order-free
       TextStats.lmPerplexity(Tables(s, dir, "documents"))
         .orderBy(col("doc_id"))),
+    "bpe_merges" -> ((s, dir) =>
+      // 12 BPE merges learned on the corpus word-frequency table; the
+      // whole train loop is vocabulary-sized after one corpus groupBy
+      graft.text.Bpe.train(Tables(s, dir, "documents"), numMerges = 12)._1
+        .orderBy(col("rank"))),
+    "doc_bpe_tokens" -> ((s, dir) => {
+      // tokenize the corpus with its own learned 12-merge symbolization
+      val docs = Tables(s, dir, "documents")
+      graft.text.Bpe.tokenize(docs,
+        graft.text.Bpe.train(docs, numMerges = 12)._2)
+        .orderBy(col("doc_id"))
+    }),
     "doc_fingerprint" -> ((s, dir) =>
       TextStats.fingerprints(Tables(s, dir, "documents")).orderBy(col("doc_id"))),
     "doc_ngram_jaccard" -> ((s, dir) =>
@@ -931,6 +943,64 @@ object SparkEntry {
        |    ROW_NUMBER() OVER (PARTITION BY query_id
        |                       ORDER BY cos DESC, vec_id) AS rank
        |  FROM sims)""".stripMargin
+
+  /** Unrolled BPE-training CTE chain for the bpe_merges / doc_bpe_tokens
+    * oracles — re-derives text/Bpe.train round for round: wf0 is the
+    * char-split word-frequency table; each round counts symbol bigrams,
+    * picks the (cnt desc, l, r) argmax, and applies it greedy-leftmost.
+    * Greedy-leftmost in SQL is the gaps-islands even rule: within each run
+    * of CONSECUTIVE candidate positions (only l = r produces runs), apply
+    * at odd in-run ranks, then drop positions whose predecessor applied —
+    * provably the same pairing as the engine's left fold. Round k's state
+    * lands in wf`k`, the learned pair in best`k`.
+    */
+  private def bpeCtes(m: Int): String = {
+    def round(k: Int): String = {
+      val prev = s"wf${k - 1}"
+      s"""pc$k AS MATERIALIZED (
+         |  SELECT p.l AS l, p.r AS r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |      i -> struct_pack(l := syms[i], r := syms[i + 1]))) AS p
+         |    FROM $prev WHERE len(syms) >= 2) GROUP BY 1, 2),
+         |best$k AS MATERIALIZED (
+         |  SELECT l, r, cnt FROM pc$k ORDER BY cnt DESC, l ASC, r ASC
+         |  LIMIT 1),
+         |app$k AS (
+         |  SELECT word, freq, i, s, c,
+         |    CASE WHEN c = 1 AND ROW_NUMBER() OVER (
+         |        PARTITION BY word, c, i - rnc ORDER BY i) % 2 = 1
+         |      THEN 1 ELSE 0 END AS a
+         |  FROM (
+         |    SELECT word, freq, i, s, c,
+         |      ROW_NUMBER() OVER (PARTITION BY word, c ORDER BY i) AS rnc
+         |    FROM (
+         |      SELECT word, freq, e.p AS i, e.s AS s,
+         |        CASE WHEN e.s = (SELECT l FROM best$k)
+         |              AND LEAD(e.s) OVER (PARTITION BY word ORDER BY e.p)
+         |                  = (SELECT r FROM best$k)
+         |             THEN 1 ELSE 0 END AS c
+         |      FROM (SELECT word, freq,
+         |              unnest(list_transform(range(1, len(syms) + 1),
+         |                j -> struct_pack(p := j, s := syms[j]))) AS e
+         |            FROM $prev)))),
+         |wf$k AS MATERIALIZED (
+         |  SELECT word, MIN(freq) AS freq,
+         |    list(CASE WHEN a = 1 THEN s || (SELECT r FROM best$k) ELSE s END
+         |         ORDER BY i) AS syms
+         |  FROM (SELECT *, COALESCE(LAG(a) OVER (
+         |          PARTITION BY word ORDER BY i), 0) AS pa FROM app$k)
+         |  WHERE pa = 0 GROUP BY word)"""
+    }
+    s"""WITH wf0 AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+       |    list_transform(range(1, length(word) + 1), j -> word[j:j]) AS syms
+       |  FROM (SELECT unnest(CASE WHEN length(trim(text)) = 0
+       |            THEN []::VARCHAR[]
+       |            ELSE regexp_split_to_array(trim(text), '\\s+') END) AS word
+       |        FROM documents)
+       |  GROUP BY word),
+       |${(1 to m).map(round).mkString(",\n")}""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -1691,6 +1761,31 @@ object SparkEntry {
         |  COALESCE(sc.nll_q6 // sc.n_pairs, 0) AS mean_nll_q6
         |FROM documents d LEFT JOIN sc USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "bpe_merges" ->
+      // the full 12-round train loop re-derived in DuckDB (see bpeCtes)
+      s"""${bpeCtes(12)}
+         |SELECT * FROM (
+         |${(1 to 12).map(k =>
+             s"SELECT CAST($k AS BIGINT) AS rank, l AS left_sym, " +
+               s"r AS right_sym, cnt FROM best$k").mkString(" UNION ALL\n")}
+         |) ORDER BY rank""".stripMargin,
+    "doc_bpe_tokens" ->
+      // same chain; per-doc token counts from the final symbolization
+      s"""${bpeCtes(12)},
+         |tk AS (
+         |  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0
+         |      THEN []::VARCHAR[]
+         |      ELSE regexp_split_to_array(trim(text), '\\s+') END) AS word
+         |  FROM documents),
+         |ct AS (
+         |  SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |         CAST(SUM(len(w.syms)) AS BIGINT) AS n_bpe_tokens
+         |  FROM tk JOIN wf12 w USING (word) GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(COALESCE(ct.n_words, 0) AS BIGINT) AS n_words,
+         |  CAST(COALESCE(ct.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN ct USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       """WITH t AS (
         |  SELECT doc_id, md5(text) AS text_md5,

@@ -268,6 +268,58 @@ class TextSpec extends AnyFunSuite {
       k -> (if (n > 0) s / n else 0L) })
   }
 
+  test("BPE train matches a sequential reference on real documents") {
+    import graft.text.Bpe
+    // plain-Scala Sennrich BPE: pair counts over the word-freq table,
+    // greedy leftmost merge application
+    def refTrain(words: Map[String, Long], m: Int)
+    : (Seq[(String, String, Long)], Map[String, Vector[String]]) = {
+      var syms = words.map { case (w, _) => w -> w.split("").toVector }
+      val merges = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Long)]
+      for (_ <- 1 to m) {
+        val counts = scala.collection.mutable.Map
+          .empty[(String, String), Long]
+        for ((w, f) <- words; Seq(a, b) <- syms(w).sliding(2)
+             if syms(w).size >= 2)
+          counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+        if (counts.nonEmpty) {
+          val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+          merges += ((l, r, c))
+          syms = syms.map { case (w, ss) =>
+            val out = Vector.newBuilder[String]
+            var i = 0
+            while (i < ss.size) {
+              if (i + 1 < ss.size && ss(i) == l && ss(i + 1) == r) {
+                out += (l + r); i += 2
+              } else { out += ss(i); i += 1 }
+            }
+            w -> out.result()
+          }
+        }
+      }
+      (merges.toSeq, syms)
+    }
+    val words = docs.select(explode(split(trim(col("text")), "\\s+")))
+      .filter(length(col("col")) > 0)
+      .groupBy("col").count().as[(String, Long)].collect().toMap
+    val (wantMerges, wantSyms) = refTrain(words, 8)
+    val (gotM, gotS) = Bpe.train(docs, 8)
+    assert(gotM.select("left_sym", "right_sym", "cnt").as[(String, String, Long)]
+      .collect().toSeq == wantMerges)
+    val gotSyms = gotS.select("word", "syms").as[(String, Seq[String])]
+      .collect().map { case (w, s) => w -> s.toVector }.toMap
+    assert(gotSyms == wantSyms)
+    // cascade sanity on a hand case: freq makes (a,a) then (aa,aa) win
+    val hand = mkDocs(Seq(1L -> "aaaa aaaa aaaa", 2L -> "bc bc"))
+    val (hm, hs) = Bpe.train(hand, 2)
+    assert(hm.select("left_sym", "right_sym").as[(String, String)]
+      .collect().toSeq == Seq(("a", "a"), ("aa", "aa")))
+    val aaaa = hs.filter(col("word") === "aaaa").select("syms")
+      .as[Seq[String]].head()
+    assert(aaaa == Seq("aaaa"))
+  }
+
   test("mutual information: zero when independent, H(X) when determined") {
     import graft.text.FeatureStats
     // independent: every (x, y) combination equally frequent
