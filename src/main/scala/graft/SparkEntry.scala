@@ -336,6 +336,14 @@ object SparkEntry {
         .agg(floor(avg("pred") + 0.5).cast("long").as("mean_pred"))
         .orderBy("ug", "ig")
     }),
+    "louvain_communities" -> ((s, _) => {
+      // modularity local moving (Louvain phase 1, MIS-scheduled) on the
+      // planted ring of cliques — the textbook modularity partition whose
+      // expected communities are closed-form: community(v) = (v/5)*5
+      val edges = Fixtures.persist(s, "planted_ring_cliques",
+        graft.core.Planted.ringOfCliques(s, nCliques = 24, s = 5))
+      graft.algos.Louvain.localMoving(edges).orderBy(col("id"))
+    }),
     "timesvdpp_drift" -> ((s, _) => {
       // planted antisymmetric temporal drift (Planted.temporalRatings):
       // group-0 users rate −1/+1 at buckets 0/1, group-1 the opposite — the
@@ -1105,6 +1113,15 @@ object SparkEntry {
          |            AS BIGINT) AS mean_pred
          |FROM ${Fixtures.sqlOf("planted_ratings")}
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "louvain_communities" ->
+      // closed-form planted partition: each size-5 clique is one community
+      // labeled by its min member (the engine's relabel convention)
+      s"""SELECT id, (id // 5) * 5 AS community FROM (
+         |  SELECT DISTINCT src AS id
+         |  FROM ${Fixtures.sqlOf("planted_ring_cliques")}
+         |  UNION
+         |  SELECT DISTINCT dst FROM ${Fixtures.sqlOf("planted_ring_cliques")})
+         |ORDER BY id""".stripMargin,
     "timesvdpp_drift" ->
       // expected = the planted block means SHIFTED by the antisymmetric
       // drift (±1 by user group × bucket) — a static or bias-only model

@@ -222,4 +222,29 @@ object Planted {
       .agg(array_sort(collect_list(struct(col("pos"), col("val"))))
         .as("ps"))
       .select(col("id"), transform(col("ps"), p => p("val")).as("features"))
+
+  /** Ring of cliques — modularity clustering's textbook planted partition
+    * (Fortunato 2010 §C): `nCliques` cliques of size `s` (clique g owns ids
+    * [g·s, (g+1)·s)), closed into a ring by single edges from each clique's
+    * max vertex to the next clique's min. Local-moving modularity recovers
+    * exactly the cliques, so the expected community of vertex v is the
+    * closed form (v / s) · s (its clique's min member). Unit weight edges,
+    * each undirected edge emitted once.
+    */
+  def ringOfCliques(spark: SparkSession, nCliques: Int = 24,
+      s: Int = 5): DataFrame = {
+    val cliqueEdges = spark.range(0, nCliques.toLong, 1, 8)
+      .select(col("id").as("g"),
+        explode(sequence(lit(0L), lit(s - 1L))).as("i"))
+      .select(col("g"), col("i"),
+        explode(sequence(lit(0L), lit(s - 1L))).as("j"))
+      .filter(col("i") < col("j"))
+      .select((col("g") * s + col("i")).as("src"),
+        (col("g") * s + col("j")).as("dst"))
+    val ringEdges = spark.range(0, nCliques.toLong, 1, 8)
+      .select((col("id") * s + (s - 1)).as("src"),
+        (((col("id") + 1) % nCliques) * s).as("dst"))
+    cliqueEdges.unionAll(ringEdges)
+      .select(col("src"), col("dst"), lit(1L).as("w"))
+  }
 }

@@ -225,4 +225,35 @@ class MoreAlgosSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toSet
     assert(dec4 == rec4 && rec4.nonEmpty)
   }
+
+  test("louvain local moving recovers planted communities, deterministically") {
+    import graft.algos.Louvain
+    // ring of cliques: every clique is its own community, labeled min-id
+    val ring = graft.core.Planted.ringOfCliques(spark, nCliques = 24, s = 5)
+    val got = Louvain.localMoving(ring)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L until 120L).map(v => v -> (v / 5) * 5).toMap)
+    // partitioning/row-order invariance (synchronous rounds + integer
+    // scores: nothing in the result may depend on physical layout)
+    val shuffled = Louvain.localMoving(
+      ring.repartition(7, col("dst")).sortWithinPartitions("w"))
+      .as[(Long, Long)].collect().toMap
+    assert(shuffled == got)
+    // two triangles bridged by one edge -> exactly two communities
+    val twoTri = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (2L, 10L))
+      .toDF("src", "dst").withColumn("w", lit(1L))
+    val t = Louvain.localMoving(twoTri).as[(Long, Long)].collect().toMap
+    assert(t == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L))
+    // weighted: heavy bridge (w=10) pulls the two triangles together
+    val heavyBridge = Seq((0L, 1L, 1L), (1L, 2L, 1L), (0L, 2L, 1L),
+      (10L, 11L, 1L), (11L, 12L, 1L), (10L, 12L, 1L), (2L, 10L, 10L))
+      .toDF("src", "dst", "w")
+    val h = Louvain.localMoving(heavyBridge).as[(Long, Long)].collect().toMap
+    // the w=10 bridge dominates every intra-triangle tie: its endpoints
+    // must land together (a local optimum may keep 3 communities total)
+    assert(h(2L) == h(10L) && h.values.toSet.size < 6,
+      s"heavy bridge must merge its endpoints: $h")
+  }
 }
