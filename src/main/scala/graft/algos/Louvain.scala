@@ -37,8 +37,14 @@ object Louvain {
     * with each community relabeled to its minimum member id (label-choice
     * independent, like the CC convention). Fails loudly on a round budget
     * overrun rather than returning a half-converged partition.
+    *
+    * `minMoved` > 0 relaxes the fixpoint to "stop once a round moves ≤
+    * minMoved vertices" — the standard sequential-Louvain practice of
+    * cutting the geometric improvement tail (set it to ~0.1% of |V| at
+    * scale); the default 0 is the exact fixpoint the planted oracle pins.
     */
-  def localMoving(edges: DataFrame, maxRounds: Int = 40): DataFrame = {
+  def localMoving(edges: DataFrame, maxRounds: Int = 40,
+      minMoved: Long = 0L): DataFrame = {
     val und = edges
       .select(col("src"), col("dst"), col("w"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"),
@@ -51,11 +57,11 @@ object Louvain {
     var comm = deg.select(col("id"), col("id").as("c"), col("k"))
       .localCheckpoint(true)
     var round = 0
-    var moved = -1L
+    var moved = Long.MaxValue
     // moved == 0 is the fixpoint: a winner exists whenever any vertex
     // strictly gains (the globally max-priority gainer always wins its
     // neighborhood), so a zero-move round means no strict gainer remains
-    while (moved != 0L) {
+    while (moved > minMoved) {
       require(round < maxRounds,
         s"louvain: no fixpoint after $maxRounds rounds")
       val totals = comm.groupBy(col("c")).agg(sum(col("k")).as("s"))
@@ -110,8 +116,11 @@ object Louvain {
       comm = next.select(col("id"), col("c"), col("k"))
       round += 1
       if (sys.env.contains("GRAFT_LOUVAIN_TRACE")) {
-        val mv = next.filter(col("moved")).select("id", "c").collect()
-          .map(r => s"${r.getLong(0)}->${r.getLong(1)}").sorted.take(12)
+        // sample moves only when tiny — never a corpus-sized collect
+        val mv = if (moved > 0 && moved <= 64)
+          next.filter(col("moved")).select("id", "c").collect()
+            .map(r => s"${r.getLong(0)}->${r.getLong(1)}").sorted.take(12)
+        else Array.empty[String]
         System.err.println(
           s"[louvain] round=$round moved=$moved ${mv.mkString(" ")}")
       }
