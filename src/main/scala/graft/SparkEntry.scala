@@ -344,6 +344,17 @@ object SparkEntry {
         graft.core.Planted.ringOfCliques(s, nCliques = 24, s = 5))
       graft.algos.Louvain.localMoving(edges).orderBy(col("id"))
     }),
+    "louvain_multilevel" -> ((s, _) => {
+      // full multi-level Louvain (local moving + contraction) on the
+      // planted paired-cliques hierarchy: level 1 recovers the cliques,
+      // level 2 merges each bridge-tied pair, level 3 is the fixpoint —
+      // closed-form final community (v/12)*12 (see Planted.pairedCliques
+      // for the exact integer gain ledger at every level)
+      val edges = Fixtures.persist(s, "planted_paired_cliques",
+        graft.core.Planted.pairedCliques(s, nPairs = 12, s = 6,
+          wBridge = 3L))
+      graft.algos.Louvain.louvain(edges).orderBy(col("id"))
+    }),
     "timesvdpp_drift" -> ((s, _) => {
       // planted antisymmetric temporal drift (Planted.temporalRatings):
       // group-0 users rate −1/+1 at buckets 0/1, group-1 the opposite — the
@@ -1121,6 +1132,15 @@ object SparkEntry {
          |  FROM ${Fixtures.sqlOf("planted_ring_cliques")}
          |  UNION
          |  SELECT DISTINCT dst FROM ${Fixtures.sqlOf("planted_ring_cliques")})
+         |ORDER BY id""".stripMargin,
+    "louvain_multilevel" ->
+      // closed-form hierarchical plant: the final (level-2) community of v
+      // is its clique PAIR's min member — cliques of 6, pairs of 12
+      s"""SELECT id, (id // 12) * 12 AS community FROM (
+         |  SELECT DISTINCT src AS id
+         |  FROM ${Fixtures.sqlOf("planted_paired_cliques")}
+         |  UNION
+         |  SELECT DISTINCT dst FROM ${Fixtures.sqlOf("planted_paired_cliques")})
          |ORDER BY id""".stripMargin,
     "timesvdpp_drift" ->
       // expected = the planted block means SHIFTED by the antisymmetric

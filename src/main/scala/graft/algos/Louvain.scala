@@ -33,10 +33,15 @@ import org.apache.spark.storage.StorageLevel
 object Louvain {
 
   /** Local-moving fixpoint. `edges`: undirected (src, dst, w) with each
-    * edge once, no self-loops, integer weights. Returns (id, community)
-    * with each community relabeled to its minimum member id (label-choice
-    * independent, like the CC convention). Fails loudly on a round budget
-    * overrun rather than returning a half-converged partition.
+    * edge once, integer weights. Self-loops (src == dst) are allowed and
+    * carry contracted-graph semantics: a self-loop of weight w contributes
+    * 2w to its vertex's degree k (it is internal wherever the vertex goes)
+    * but never to any candidate community's w(v,c) — exactly Blondel et
+    * al.'s phase-2 convention, so a contracted level optimizes the SAME
+    * flat modularity. Returns (id, community) with each community
+    * relabeled to its minimum member id (label-choice independent, like
+    * the CC convention). Fails loudly on a round budget overrun rather
+    * than returning a half-converged partition.
     *
     * `minMoved` > 0 relaxes the fixpoint to "stop once a round moves ≤
     * minMoved vertices" — the standard sequential-Louvain practice of
@@ -50,6 +55,10 @@ object Louvain {
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"),
         col("w")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // a self-loop is doubled by the union above, so deg's sum gives it the
+    // required 2w; the no-self view feeds w(v,c) scoring and MIS adjacency
+    // (a vertex must never block its own move)
+    val undNS = und.filter(col("src") =!= col("dst"))
     val deg = und.groupBy(col("src").as("id"))
       .agg(sum(col("w")).as("k"))
     val m2 = deg.agg(sum(col("k")).as("m2")) // = 2m, broadcast 1-row
@@ -67,7 +76,7 @@ object Louvain {
       val totals = comm.groupBy(col("c")).agg(sum(col("k")).as("s"))
       // weight from every vertex to each adjacent community (+ its own
       // community as a 0-weight candidate so "stay" is always scored)
-      val nbrW = und
+      val nbrW = undNS
         .join(comm.select(col("id").as("dst"), col("c").as("cv")), Seq("dst"))
         .groupBy(col("src").as("id"), col("cv"))
         .agg(sum(col("w")).as("wvc"))
@@ -101,7 +110,7 @@ object Louvain {
         .select(col("id"), col("nc"),
           (GraphOps.lehmerHash(col("id"), lit(round), 77L) * 4294967296L +
             (col("id") % 4294967296L)).as("pri"))
-      val nbrPri = und
+      val nbrPri = undNS
         .join(want.select(col("id").as("dst"), col("pri").as("np")),
           Seq("dst"))
         .groupBy(col("src").as("id")).agg(max(col("np")).as("maxnp"))
@@ -128,5 +137,63 @@ object Louvain {
     und.unpersist(false)
     val minLabel = comm.groupBy(col("c")).agg(min(col("id")).as("community"))
     comm.join(minLabel, Seq("c")).select(col("id"), col("community"))
+  }
+
+  /** Louvain phase 2: contract each community to one super-vertex. Every
+    * edge is re-keyed to its endpoints' community labels and the weights
+    * summed — intra-community mass becomes a self-loop (src == dst), which
+    * [[localMoving]] folds into the super-vertex's degree, preserving the
+    * flat modularity objective across levels. One edges-sized equi-join
+    * per endpoint + one map-side-combinable groupBy: the contracted output
+    * is community-count-sized, so each level's graph shrinks
+    * geometrically (the property that makes multi-level Louvain near-
+    * linear on web graphs).
+    */
+  def contract(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges
+      .join(labels.select(col("id").as("src"), col("community").as("cs")),
+        Seq("src"))
+      .join(labels.select(col("id").as("dst"), col("community").as("cd")),
+        Seq("dst"))
+      .select(least(col("cs"), col("cd")).as("src"),
+        greatest(col("cs"), col("cd")).as("dst"), col("w"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+
+  /** Full multi-level Louvain (Blondel et al. 2008): alternate
+    * [[localMoving]] and [[contract]] until a level merges nothing, then
+    * map every ORIGINAL vertex to its top-level community. Labels stay
+    * min-member ids at every level, so the composed mapping is itself a
+    * min-member labeling of the final partition — closed-form-testable and
+    * engine/partitioning independent like the single level.
+    *
+    * Each level's label table is super-vertex-sized and the composition
+    * join is original-vertex-sized — no state ever exceeds the input, and
+    * the contracted graphs shrink geometrically, so the level loop is a
+    * bounded driver gate exactly like every other delta iteration here.
+    */
+  def louvain(edges: DataFrame, maxLevels: Int = 12, maxRounds: Int = 40,
+      minMoved: Long = 0L): DataFrame = {
+    var g = edges.select(col("src"), col("dst"), col("w"))
+    var mapping: DataFrame = null // original id -> current super-vertex
+    var level = 0
+    var done = false
+    while (!done) {
+      require(level < maxLevels,
+        s"louvain: still contracting after $maxLevels levels")
+      val labels = localMoving(g, maxRounds, minMoved).localCheckpoint(true)
+      val merged = labels.filter(col("id") =!= col("community")).count()
+      mapping =
+        if (mapping == null) labels
+        else mapping.select(col("id"), col("community").as("sv"))
+          .join(labels.select(col("id").as("sv"),
+            col("community")), Seq("sv"))
+          .select(col("id"), col("community"))
+          .localCheckpoint(true)
+      // a level where every vertex stays its own singleton community is
+      // the global fixpoint — no coarser partition improves modularity
+      if (merged == 0L) done = true
+      else { g = contract(g, labels).localCheckpoint(true); level += 1 }
+    }
+    mapping
   }
 }

@@ -247,4 +247,39 @@ object Planted {
     cliqueEdges.unionAll(ringEdges)
       .select(col("src"), col("dst"), lit(1L).as("w"))
   }
+
+  /** Hierarchical planted partition for multi-level Louvain: `2·nPairs`
+    * cliques of size `s` in a ring, where cliques 2i and 2i+1 are tied by
+    * ONE bridge of weight `wBridge` and consecutive pairs by one unit
+    * ring edge. Sizing (defaults s=6, wBridge=3, nPairs=12, γ=1,
+    * integer-exact): a single bridge endpoint moving across gains
+    * 2m(wBridge − (s−1)) − k² < 0, so LEVEL 1 recovers exactly the cliques
+    * ((v/s)·s); contracted, a whole clique (k = s(s−1)+wBridge+1 = 34,
+    * 2m = 816) gains 816·3 − 34² > 0 into its bridge partner but
+    * 816·1 − 34² < 0 into its ring neighbor, so LEVEL 2 merges exactly
+    * the pairs; merged pairs (k = 68) gain 816 − 68² < 0, so level 3 is
+    * the fixpoint. Expected final community: (v / 2s) · 2s.
+    */
+  def pairedCliques(spark: SparkSession, nPairs: Int = 12, s: Int = 6,
+      wBridge: Long = 3L): DataFrame = {
+    val nCliques = 2 * nPairs
+    val cliqueEdges = spark.range(0, nCliques.toLong, 1, 8)
+      .select(col("id").as("g"),
+        explode(sequence(lit(0L), lit(s - 1L))).as("i"))
+      .select(col("g"), col("i"),
+        explode(sequence(lit(0L), lit(s - 1L))).as("j"))
+      .filter(col("i") < col("j"))
+      .select((col("g") * s + col("i")).as("src"),
+        (col("g") * s + col("j")).as("dst"), lit(1L).as("w"))
+    // pair bridge: min member of clique 2i — min member of clique 2i+1
+    val bridges = spark.range(0, nPairs.toLong, 1, 8)
+      .select((col("id") * 2 * s).as("src"),
+        ((col("id") * 2 + 1) * s).as("dst"), lit(wBridge).as("w"))
+    // ring: second member of clique 2i+1 — second member of clique 2i+2
+    val ringEdges = spark.range(0, nPairs.toLong, 1, 8)
+      .select(((col("id") * 2 + 1) * s + 1).as("src"),
+        ((((col("id") + 1) % nPairs) * 2 * s) + 1).as("dst"),
+        lit(1L).as("w"))
+    cliqueEdges.unionAll(bridges).unionAll(ringEdges)
+  }
 }

@@ -256,4 +256,37 @@ class MoreAlgosSpec extends AnyFunSuite {
     assert(h(2L) == h(10L) && h.values.toSet.size < 6,
       s"heavy bridge must merge its endpoints: $h")
   }
+
+  test("multi-level louvain contracts exactly the planted hierarchy") {
+    import graft.algos.Louvain
+    val g = graft.core.Planted.pairedCliques(spark, nPairs = 12, s = 6,
+      wBridge = 3L)
+    val n = 12 * 2 * 6
+    // level 1 alone must stop at the cliques (the single bridge cannot
+    // pull one vertex across: 2m(w−(s−1)) − k² < 0)...
+    val flat = Louvain.localMoving(g).as[(Long, Long)].collect().toMap
+    assert(flat == (0L until n).map(v => v -> (v / 6) * 6).toMap)
+    // ...so only a contraction level can merge the pairs: whole cliques
+    // gain across their bridge (2m·3 > k²) but not across the ring
+    val full = Louvain.louvain(g).as[(Long, Long)].collect().toMap
+    assert(full == (0L until n).map(v => v -> (v / 12) * 12).toMap)
+    // partitioning invariance holds through contraction levels too
+    val shuf = Louvain.louvain(g.repartition(9, col("src")))
+      .as[(Long, Long)].collect().toMap
+    assert(shuf == full)
+    // contract() itself: ring-of-cliques contracted on its own labels is a
+    // weighted ring of self-looped super-vertices; total weight and the
+    // degree ledger (self-loop counted twice) must both be conserved
+    val ring = graft.core.Planted.ringOfCliques(spark, nCliques = 6, s = 4)
+    val labels = Louvain.localMoving(ring)
+    val c = Louvain.contract(ring, labels)
+      .as[(Long, Long, Long)].collect()
+    val selfW = c.filter(e => e._1 == e._2).map(_._3).sum
+    val crossW = c.filter(e => e._1 != e._2).map(_._3).sum
+    assert(selfW == 6L * 6 && crossW == 6L, s"contracted ring: ${c.toSeq}")
+    // a self-loop-only graph is a localMoving fixpoint (nothing can move)
+    val loops = Seq((0L, 0L, 5L), (7L, 7L, 3L)).toDF("src", "dst", "w")
+    val fix = Louvain.localMoving(loops).as[(Long, Long)].collect().toMap
+    assert(fix == Map(0L -> 0L, 7L -> 7L))
+  }
 }
