@@ -555,6 +555,12 @@ object SparkEntry {
         graft.text.Bpe.train(docs, numMerges = 12)._2)
         .orderBy(col("doc_id"))
     }),
+    "doc_dsir_sample" -> ((s, dir) =>
+      // DSIR data selection (Xie et al. 2023): target = the English slice,
+      // raw = the whole corpus; hashed unigram+bigram models over 512
+      // buckets, Gumbel top-100 — integer q6 scores end to end
+      graft.text.Dsir.resample(Tables(s, dir, "documents"),
+        col("lang") === "en", buckets = 512, k = 100)),
     "doc_fingerprint" -> ((s, dir) =>
       TextStats.fingerprints(Tables(s, dir, "documents")).orderBy(col("doc_id"))),
     "doc_ngram_jaccard" -> ((s, dir) =>
@@ -1823,6 +1829,50 @@ object SparkEntry {
          |  CAST(COALESCE(ct.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
          |FROM documents d LEFT JOIN ct USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
+    "doc_dsir_sample" ->
+      // the whole DSIR chain re-derived: hashed feature buckets, add-one
+      // bucket models, per-term q6 log-ratio sums, Lehmer-Gumbel top-k
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, unnest(toks) AS f FROM t
+        |  UNION ALL
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS f
+        |  FROM t WHERE len(toks) >= 2),
+        |fc AS MATERIALIZED (
+        |  SELECT doc_id, ('0x' || substr(md5(f), 1, 15))::BIGINT % 512 AS b,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM f GROUP BY 1, 2),
+        |tgt AS (
+        |  SELECT b, SUM(c) AS ct FROM fc JOIN t USING (doc_id)
+        |  WHERE lang = 'en' GROUP BY 1),
+        |model AS MATERIALIZED (
+        |  SELECT raw.b, raw.cr, COALESCE(tgt.ct, 0) AS ct
+        |  FROM (SELECT b, SUM(c) AS cr FROM fc GROUP BY 1) raw
+        |  LEFT JOIN tgt USING (b)),
+        |tot AS (SELECT SUM(cr) AS totr, SUM(ct) AS tott FROM model),
+        |lr AS MATERIALIZED (
+        |  SELECT b, ln((ct + 1) / CAST(tott + 512 AS DOUBLE))
+        |           - ln((cr + 1) / CAST(totr + 512 AS DOUBLE)) AS lr
+        |  FROM model CROSS JOIN tot),
+        |lw AS (
+        |  SELECT t.doc_id, COALESCE(s.logw_q6, 0) AS logw_q6
+        |  FROM t LEFT JOIN (
+        |    SELECT doc_id,
+        |      CAST(SUM(CAST(FLOOR(c * lr * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+        |        AS logw_q6
+        |    FROM fc JOIN lr USING (b) GROUP BY 1) s USING (doc_id))
+        |SELECT doc_id, logw_q6,
+        |  logw_q6 + CAST(FLOOR(-ln(-ln(
+        |      (((doc_id % 2147483647) * 2654435761 + 42)
+        |        % 2147483647 * 48271 % 2147483647 + 1) / 2147483648.0))
+        |    * 1e6 + 0.5) AS BIGINT) AS score_q6
+        |FROM lw
+        |ORDER BY score_q6 DESC, doc_id LIMIT 100""".stripMargin,
     "doc_fingerprint" ->
       """WITH t AS (
         |  SELECT doc_id, md5(text) AS text_md5,

@@ -337,4 +337,42 @@ class TextSpec extends AnyFunSuite {
     val hxQ6 = math.floor(hx * 1e6 + 0.5).toLong
     assert(r2 == ((8L, 2L, 2L, hxQ6, hxQ6)))
   }
+
+  test("dsir importance weights separate target-like from raw-like docs") {
+    import graft.text.Dsir
+    // target docs (1, 2) share a vocabulary; raw-only docs (3, 4) another;
+    // doc 5 is written in the target vocabulary but NOT marked target —
+    // DSIR must give it a higher importance weight than the raw-only docs
+    val d = mkDocs(Seq(
+      1L -> "alpha beta alpha beta gamma",
+      2L -> "beta alpha gamma alpha beta",
+      3L -> "delta epsilon zeta delta epsilon",
+      4L -> "zeta epsilon delta zeta zeta",
+      5L -> "alpha beta gamma beta alpha"))
+      .withColumn("lang", when(col("doc_id") <= 2, "en").otherwise("xx"))
+    val w = Dsir.importanceWeights(d, col("lang") === "en", buckets = 64)
+      .as[(Long, Long)].collect().toMap
+    assert(w(5L) > w(3L) && w(5L) > w(4L),
+      s"target-like doc must outweigh raw-only docs: $w")
+    assert(w(1L) > w(3L) && w(2L) > w(4L))
+    // partitioning invariance: per-term q6 integer sums are order-free
+    val w2 = Dsir.importanceWeights(d.repartition(7, col("text")),
+      col("lang") === "en", buckets = 64).as[(Long, Long)].collect().toMap
+    assert(w2 == w)
+    // resample: deterministic, k rows, ranked by score then doc_id
+    val sel = Dsir.resample(d, col("lang") === "en", buckets = 64, k = 3)
+      .as[(Long, Long, Long)].collect()
+    val sel2 = Dsir.resample(d.repartition(5), col("lang") === "en",
+      buckets = 64, k = 3).as[(Long, Long, Long)].collect()
+    assert(sel.toSeq == sel2.toSeq && sel.length == 3)
+    assert(sel.map(_._3).toSeq == sel.map(_._3).sorted.reverse.toSeq)
+    // real corpus smoke: English docs must average a higher weight than
+    // non-English (they ARE the target distribution)
+    val corpus = Dsir.importanceWeights(docs, col("lang") === "en", 512)
+      .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+    val means = corpus.groupBy(col("lang") === "en")
+      .agg(avg(col("logw_q6"))).as[(Boolean, Double)].collect().toMap
+    assert(means(true) > means(false),
+      s"en target mean must exceed non-en: $means")
+  }
 }
