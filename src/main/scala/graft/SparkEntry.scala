@@ -170,6 +170,11 @@ object SparkEntry {
       TriangleCount.total(s, LinkGraph.edges(s, dir))),
     "triangle_per_vertex" -> ((s, dir) =>
       TriangleCount.perVertex(s, LinkGraph.edges(s, dir)).orderBy(col("id"))),
+    "graph_clustering" -> ((s, dir) =>
+      // local clustering coefficient as an exact-integer q6 ratio —
+      // triangles over wedges per vertex, degree<2 scoring 0
+      TriangleCount.clusteringCoefficient(s, LinkGraph.edges(s, dir))
+        .orderBy(col("id"))),
 
     // ---- further graph apps -------------------------------------------------
     "degree_distribution" -> ((s, dir) =>
@@ -1087,6 +1092,7 @@ object SparkEntry {
          |FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
     "triangle_total" -> TriangleCount.totalOracleSql(E),
     "triangle_per_vertex" -> TriangleCount.perVertexOracleSql(E),
+    "graph_clustering" -> TriangleCount.clusteringOracleSql(E),
 
     "msf" ->
       // the fixture's construction makes the unique MSF exactly the rows

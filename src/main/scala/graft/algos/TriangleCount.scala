@@ -102,6 +102,65 @@ object TriangleCount {
       .groupBy("id").agg(count(lit(1)).as("tri_cnt"))
   }
 
+  /** Local clustering coefficient per vertex: lcc(v) = tri(v) / C(d(v), 2)
+    * over the simple undirected graph (self-edges and duplicates dropped —
+    * the same canonicalization the triangle listing uses). Emitted as an
+    * exact-integer q6 ratio: floor(x·1e6 + 1/2) computed as
+    * `(4·tri·1e6 + d(d−1)) DIV (2·d(d−1))` — pure 64-bit integer
+    * arithmetic, no float rounding to disagree across engines. Vertices of
+    * degree < 2 score 0. Cost: the degeneracy-bounded triangle plan plus
+    * one degree aggregate — nothing new shuffles at scale.
+    */
+  def clusteringCoefficient(spark: SparkSession,
+      edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = und.select(col("u").as("id"))
+      .unionAll(und.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    deg.join(perVertex(spark, edges), Seq("id"), "left")
+      .select(col("id"), col("degree"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))
+      .withColumn("lcc_q6", when(col("degree") >= 2,
+        expr("(4 * tri_cnt * 1000000 + degree * (degree - 1))" +
+          " DIV (2 * degree * (degree - 1))")).otherwise(lit(0L)))
+  }
+
+  /** SQL oracle for [[clusteringCoefficient]]: the per-vertex triangle
+    * oracle joined to degrees, with the identical integer q6 division.
+    */
+  def clusteringOracleSql(edgesSql: String): String =
+    s"""WITH edges AS (
+       |$edgesSql
+       |),
+       |und AS MATERIALIZED (
+       |  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+       |  FROM edges WHERE src <> dst),
+       |tris AS MATERIALIZED (
+       |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+       |  FROM und e1
+       |  JOIN und e2 ON e2.u = e1.v
+       |  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v),
+       |tc AS (
+       |  SELECT id, CAST(COUNT(*) AS BIGINT) AS tri_cnt FROM (
+       |    SELECT x AS id FROM tris
+       |    UNION ALL SELECT y FROM tris
+       |    UNION ALL SELECT z FROM tris)
+       |  GROUP BY id),
+       |deg AS (
+       |  SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+       |    SELECT u AS id FROM und UNION ALL SELECT v FROM und)
+       |  GROUP BY id)
+       |SELECT d.id, d.degree, COALESCE(tc.tri_cnt, 0) AS tri_cnt,
+       |  CAST(CASE WHEN d.degree >= 2
+       |    THEN (4 * COALESCE(tc.tri_cnt, 0) * 1000000
+       |          + d.degree * (d.degree - 1))
+       |         // (2 * d.degree * (d.degree - 1))
+       |    ELSE 0 END AS BIGINT) AS lcc_q6
+       |FROM deg d LEFT JOIN tc USING (id) ORDER BY id""".stripMargin
+
   /** SQL oracle for the global count: canonical u<v edges, triple join. */
   def totalOracleSql(edgesSql: String): String =
     s"""WITH edges AS (

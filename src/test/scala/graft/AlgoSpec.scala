@@ -149,6 +149,20 @@ class AlgoSpec extends AnyFunSuite {
     assert(gotTotal == wantTotal)
   }
 
+  test("clustering coefficient: hand case + integer q6 rounding") {
+    // K3 (a,b,c) with a pendant d attached to a: lcc(a) = 1/3 (one edge
+    // among three neighbors' three possible), lcc(b) = lcc(c) = 1,
+    // lcc(d) = 0 (degree < 2); q6 of 1/3 floors to 333333
+    val g = Seq((0L, 1L), (1L, 2L), (0L, 2L), (0L, 3L))
+      .toDF("src", "dst")
+    val got = TriangleCount.clusteringCoefficient(spark, g)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      0L -> ((3L, 1L, 333333L)), 1L -> ((2L, 1L, 1000000L)),
+      2L -> ((2L, 1L, 1000000L)), 3L -> ((1L, 0L, 0L))))
+  }
+
   test("component sizes report is ordered by size desc") {
     val sizes = ConnectedComponents.componentSizes(
       ConnectedComponents.components(spark, edgesDf))
