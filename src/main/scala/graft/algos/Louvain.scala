@@ -63,8 +63,13 @@ object Louvain {
       .agg(sum(col("w")).as("k"))
     val m2 = deg.agg(sum(col("k")).as("m2")) // = 2m, broadcast 1-row
 
-    var comm = deg.select(col("id"), col("id").as("c"), col("k"))
-      .localCheckpoint(true)
+    // comm is inner-joined several times per round (nbrW, scored, totals),
+    // so its checkpoint must be stats-REBASED — plain localCheckpoint
+    // compounds the size estimate's digit count ~5x per round until the
+    // driver pins a core in BigInteger stats products (Dataflow scaladoc;
+    // measured: the 22 M-edge probe stalled at round 14)
+    var comm = graft.core.Dataflow.checkpointRebased(
+      deg.select(col("id"), col("id").as("c"), col("k")))
     var round = 0
     var moved = Long.MaxValue
     // moved == 0 is the fixpoint: a winner exists whenever any vertex
@@ -117,10 +122,10 @@ object Louvain {
       val winners = want.join(nbrPri, Seq("id"), "left")
         .filter(col("maxnp").isNull || col("pri") > col("maxnp"))
         .select(col("id"), col("nc"))
-      val next = comm.join(winners, Seq("id"), "left")
-        .select(col("id"), coalesce(col("nc"), col("c")).as("c"), col("k"),
-          col("nc").isNotNull.as("moved"))
-        .localCheckpoint(true)
+      val next = graft.core.Dataflow.checkpointRebased(
+        comm.join(winners, Seq("id"), "left")
+          .select(col("id"), coalesce(col("nc"), col("c")).as("c"), col("k"),
+            col("nc").isNotNull.as("moved")))
       moved = next.filter(col("moved")).count()
       comm = next.select(col("id"), col("c"), col("k"))
       round += 1
@@ -180,19 +185,25 @@ object Louvain {
     while (!done) {
       require(level < maxLevels,
         s"louvain: still contracting after $maxLevels levels")
-      val labels = localMoving(g, maxRounds, minMoved).localCheckpoint(true)
+      // labels and g are each referenced more than once downstream —
+      // stats-rebased checkpoints (see Dataflow.checkpointRebased)
+      val labels = graft.core.Dataflow.checkpointRebased(
+        localMoving(g, maxRounds, minMoved))
       val merged = labels.filter(col("id") =!= col("community")).count()
       mapping =
         if (mapping == null) labels
-        else mapping.select(col("id"), col("community").as("sv"))
-          .join(labels.select(col("id").as("sv"),
-            col("community")), Seq("sv"))
-          .select(col("id"), col("community"))
-          .localCheckpoint(true)
+        else graft.core.Dataflow.checkpointRebased(
+          mapping.select(col("id"), col("community").as("sv"))
+            .join(labels.select(col("id").as("sv"),
+              col("community")), Seq("sv"))
+            .select(col("id"), col("community")))
       // a level where every vertex stays its own singleton community is
       // the global fixpoint — no coarser partition improves modularity
       if (merged == 0L) done = true
-      else { g = contract(g, labels).localCheckpoint(true); level += 1 }
+      else {
+        g = graft.core.Dataflow.checkpointRebased(contract(g, labels))
+        level += 1
+      }
     }
     mapping
   }

@@ -12,16 +12,23 @@ object Dataflow {
     * a loop that joins its state leaf k (>1) times per iteration grows the
     * estimate's BigInteger bit-length ~k× every iteration, until a single
     * stats multiplication runs for minutes and blocks safepoints (observed:
-    * SVD++ sweep 7 spending 100 s inside BigInteger.multiplyToomCook3).
-    * Delta-iterated algos (CC, SCC, k-cores) dodge this structurally —
-    * semi/anti joins take the left child's size, no product — but factor
-    * sweeps and k-means assignment joins cannot, so rebuild the leaf via
-    * createDataFrame(rdd, schema): same materialized rows, fresh constant
-    * stats. The conservative default leaf size also keeps the optimizer
-    * from ever broadcasting the state side — right for cluster-scale state.
+    * SVD++ sweep 7 spending 100 s inside BigInteger.multiplyToomCook3;
+    * the 22 M-edge Louvain probe's driver pinned a core inside
+    * SizeInBytesOnlyStatsPlanVisitor by round 14 — DevStatsProbe measures
+    * the digit count multiplying per round). Delta-iterated algos (CC,
+    * SCC, k-cores) dodge this structurally — semi/anti joins take the left
+    * child's size, no product — but any loop that inner-joins its state
+    * more than once per round cannot.
+    *
+    * The rebase re-wraps the SAME checkpointed InternalRow RDD in a
+    * LogicalRDD WITHOUT origin stats: zero extra materialization, zero
+    * row conversion (the round-4 `createDataFrame(cp.rdd, cp.schema)`
+    * version paid an external-Row round trip on every downstream scan and
+    * dropped the checkpoint's output partitioning; this keeps both). The
+    * conservative default leaf size also keeps the optimizer from ever
+    * broadcasting the state side — right for cluster-scale state.
     */
-  def checkpointRebased(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint(true)
-    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
-  }
+  def checkpointRebased(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graft.GraftSqlBridge.dropOriginStats(
+      df.localCheckpoint(true))
 }
