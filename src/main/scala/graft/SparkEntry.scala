@@ -248,6 +248,14 @@ object SparkEntry {
       graft.algos.Neighborhood.harmonicExactX(balls, maxT = 3)
         .orderBy(col("seed"))
     }),
+    "betweenness_centrality" -> ((s, dir) => {
+      // distance-bounded Brandes betweenness from the landmark set —
+      // integer q6 dependency accumulation (one floor per DAG edge term)
+      val e = LinkGraph.edges(s, dir)
+      graft.algos.Betweenness.bounded(s, e,
+        LinkGraph.vertices(e).filter(col("id") % 599 === 0), maxT = 3)
+        .orderBy(col("id"))
+    }),
     "graph_neighbor_sample" -> ((s, dir) => {
       // GraphSAGE-style fan-out sampling from the landmark seed set
       val e = LinkGraph.edges(s, dir)
@@ -1393,6 +1401,69 @@ object SparkEntry {
          |         AS harmonic_x6
          |FROM b3 WHERE dist > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "betweenness_centrality" ->
+      // forward: level-synchronized σ path counts (3 unrolled rounds);
+      // backward: per-DAG-edge integer q6 terms, identical DIV flooring
+      s"""WITH edges AS MATERIALIZED (
+         |$E
+         |),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)),
+         |verts AS MATERIALIZED (
+         |  SELECT DISTINCT id FROM (
+         |    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)),
+         |n0 AS MATERIALIZED (
+         |  SELECT id AS seed, id, CAST(1 AS BIGINT) AS sigma
+         |  FROM verts WHERE id % 599 = 0),
+         |c1 AS (SELECT p.seed, u.dst AS id,
+         |         CAST(SUM(p.sigma) AS BIGINT) AS sigma
+         |       FROM und u JOIN n0 p ON p.id = u.src GROUP BY 1, 2),
+         |n1 AS MATERIALIZED (
+         |  SELECT c.seed, c.id, c.sigma FROM c1 c
+         |  LEFT JOIN n0 r ON r.seed = c.seed AND r.id = c.id
+         |  WHERE r.id IS NULL),
+         |r1 AS (SELECT seed, id FROM n0 UNION ALL SELECT seed, id FROM n1),
+         |c2 AS (SELECT p.seed, u.dst AS id,
+         |         CAST(SUM(p.sigma) AS BIGINT) AS sigma
+         |       FROM und u JOIN n1 p ON p.id = u.src GROUP BY 1, 2),
+         |n2 AS MATERIALIZED (
+         |  SELECT c.seed, c.id, c.sigma FROM c2 c
+         |  LEFT JOIN r1 r ON r.seed = c.seed AND r.id = c.id
+         |  WHERE r.id IS NULL),
+         |r2 AS (SELECT * FROM r1 UNION ALL SELECT seed, id FROM n2),
+         |c3 AS (SELECT p.seed, u.dst AS id,
+         |         CAST(SUM(p.sigma) AS BIGINT) AS sigma
+         |       FROM und u JOIN n2 p ON p.id = u.src GROUP BY 1, 2),
+         |n3 AS MATERIALIZED (
+         |  SELECT c.seed, c.id, c.sigma FROM c3 c
+         |  LEFT JOIN r2 r ON r.seed = c.seed AND r.id = c.id
+         |  WHERE r.id IS NULL),
+         |d3 AS (SELECT seed, id, sigma, CAST(0 AS BIGINT) AS delta FROM n3),
+         |x2 AS (SELECT w.seed, u.src AS id,
+         |         CAST(SUM((v.sigma * (1000000 + w.delta)) // w.sigma)
+         |           AS BIGINT) AS delta
+         |       FROM d3 w JOIN und u ON u.dst = w.id
+         |       JOIN n2 v ON v.seed = w.seed AND v.id = u.src
+         |       GROUP BY 1, 2),
+         |d2 AS MATERIALIZED (
+         |  SELECT v.seed, v.id, v.sigma, COALESCE(x2.delta, 0) AS delta
+         |  FROM n2 v LEFT JOIN x2 ON x2.seed = v.seed AND x2.id = v.id),
+         |x1 AS (SELECT w.seed, u.src AS id,
+         |         CAST(SUM((v.sigma * (1000000 + w.delta)) // w.sigma)
+         |           AS BIGINT) AS delta
+         |       FROM d2 w JOIN und u ON u.dst = w.id
+         |       JOIN n1 v ON v.seed = w.seed AND v.id = u.src
+         |       GROUP BY 1, 2),
+         |d1 AS MATERIALIZED (
+         |  SELECT v.seed, v.id, v.sigma, COALESCE(x1.delta, 0) AS delta
+         |  FROM n1 v LEFT JOIN x1 ON x1.seed = v.seed AND x1.id = v.id)
+         |SELECT id, CAST(SUM(delta) AS BIGINT) AS bc_q6 FROM (
+         |  SELECT seed, id, delta FROM d3
+         |  UNION ALL SELECT seed, id, delta FROM d2
+         |  UNION ALL SELECT seed, id, delta FROM d1)
+         |WHERE seed <> id
+         |GROUP BY id HAVING SUM(delta) > 0 ORDER BY id""".stripMargin,
     "graph_neighbor_sample" -> {
       // same Lehmer ranking per hop (seed 42+h), dst tie-break; hop-2
       // frontier = distinct hop-1 sample targets

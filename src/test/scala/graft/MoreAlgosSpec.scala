@@ -289,4 +289,29 @@ class MoreAlgosSpec extends AnyFunSuite {
     val fix = Louvain.localMoving(loops).as[(Long, Long)].collect().toMap
     assert(fix == Map(0L -> 0L, 7L -> 7L))
   }
+
+  test("bounded betweenness: theta-graph hand case, Brandes-exact") {
+    import graft.algos.Betweenness
+    // theta graph 0-{1,2}-3 plus tail 3-4: from seed 0, σ(1)=σ(2)=1,
+    // σ(3)=2, σ(4)=2; δ(3) = (2·(1e6+0))//2 = 1e6, δ(1)=δ(2) =
+    // (1·(1e6+1e6))//2 = 1e6; vertex 4 gets 0 and is filtered
+    val g = Seq((0L, 1L), (0L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("src", "dst").withColumn("weight", lit(1.0))
+    val seeds = Seq(0L).toDF("id")
+    val got = Betweenness.bounded(spark, g, seeds, maxT = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L),
+      s"got $got")
+    // partitioning invariance: all-integer terms, level-synchronized sums
+    val got2 = Betweenness.bounded(spark, g.repartition(5, col("dst")),
+      seeds, maxT = 3).as[(Long, Long)].collect().toMap
+    assert(got2 == got)
+    // two seeds: adding seed 4 makes the path 4-3-{1,2}-0 contribute too;
+    // from 4: σ(3)=1, σ(1)=σ(2)=1, σ(0)=2; δ(1)=δ(2)=(1·1e6)//2=500000,
+    // δ(3)=(1·(1e6+5e5))//1 + (1·(1e6+5e5))//1 = 3000000
+    val got3 = Betweenness.bounded(spark, g, Seq(0L, 4L).toDF("id"),
+      maxT = 3).as[(Long, Long)].collect().toMap
+    assert(got3 == Map(1L -> 1500000L, 2L -> 1500000L, 3L -> 4000000L),
+      s"got $got3")
+  }
 }
