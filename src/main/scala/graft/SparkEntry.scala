@@ -357,6 +357,14 @@ object SparkEntry {
         graft.core.Planted.ringOfCliques(s, nCliques = 24, s = 5))
       graft.algos.Louvain.localMoving(edges).orderBy(col("id"))
     }),
+    "graph_coloring" -> ((s, _) => {
+      // Jones-Plassmann greedy coloring on the planted ring of cliques —
+      // fixed Lehmer priorities, mex over colored neighbors; the oracle
+      // replays every round (extra unrolled rounds are idempotent)
+      val edges = Fixtures.persist(s, "planted_ring_cliques",
+        graft.core.Planted.ringOfCliques(s, nCliques = 24, s = 5))
+      graft.algos.Coloring.jonesPlassmann(edges).orderBy(col("id"))
+    }),
     "louvain_multilevel" -> ((s, _) => {
       // full multi-level Louvain (local moving + contraction) on the
       // planted paired-cliques hierarchy: level 1 recovers the cliques,
@@ -992,6 +1000,46 @@ object SparkEntry {
     * provably the same pairing as the engine's left fold. Round k's state
     * lands in wf`k`, the learned pair in best`k`.
     */
+  /** Unrolled Jones-Plassmann rounds for the graph_coloring oracle: the
+    * identical fixed Lehmer priority, winner rule, and mex — rounds past
+    * the fixpoint are idempotent (empty frontiers).
+    */
+  private def jpCtes(rounds: Int): String = {
+    val pri = "((id % 2147483647) * 2654435761 + 42) % 2147483647" +
+      " * 48271 % 2147483647 * 4294967296 + id % 4294967296"
+    val per = (1 to rounds).map { k =>
+      s"""m$k AS (SELECT u.src AS id, MAX(p.pri) AS maxnp
+         |  FROM und u JOIN u${k - 1} p ON p.id = u.dst GROUP BY 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT q.id FROM u${k - 1} q LEFT JOIN m$k m ON m.id = q.id
+         |  WHERE m.maxnp IS NULL OR q.pri > m.maxnp),
+         |s$k AS (SELECT w.id, list(DISTINCT c.color) AS used
+         |  FROM w$k w JOIN und u ON u.src = w.id
+         |  JOIN col${k - 1} c ON c.id = u.dst GROUP BY 1),
+         |c$k AS (SELECT w.id, CAST(COALESCE(
+         |    list_min(list_filter(range(0, len(s.used) + 1),
+         |      x -> NOT list_contains(s.used, x))), 0) AS BIGINT) AS color
+         |  FROM w$k w LEFT JOIN s$k s ON s.id = w.id),
+         |col$k AS MATERIALIZED (
+         |  SELECT * FROM col${k - 1} UNION ALL SELECT * FROM c$k),
+         |u$k AS MATERIALIZED (
+         |  SELECT q.id, q.pri FROM u${k - 1} q LEFT JOIN w$k w ON w.id = q.id
+         |  WHERE w.id IS NULL)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH und AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM ${Fixtures.sqlOf("planted_ring_cliques")}
+       |    UNION ALL
+       |    SELECT dst, src FROM ${Fixtures.sqlOf("planted_ring_cliques")})
+       |  WHERE src <> dst),
+       |u0 AS MATERIALIZED (
+       |  SELECT id, CAST($pri AS BIGINT) AS pri FROM (
+       |    SELECT DISTINCT src AS id FROM und)),
+       |col0 AS (SELECT CAST(NULL AS BIGINT) AS id,
+       |         CAST(NULL AS BIGINT) AS color WHERE FALSE),
+       |$per""".stripMargin
+  }
+
   private def bpeCtes(m: Int): String = {
     def round(k: Int): String = {
       val prev = s"wf${k - 1}"
@@ -1153,6 +1201,11 @@ object SparkEntry {
          |  UNION
          |  SELECT DISTINCT dst FROM ${Fixtures.sqlOf("planted_ring_cliques")})
          |ORDER BY id""".stripMargin,
+    "graph_coloring" ->
+      // the full JP round loop re-derived in DuckDB (20 unrolled rounds,
+      // extras idempotent); identical priority, winner, and mex arithmetic
+      s"""${jpCtes(20)}
+         |SELECT id, color FROM col20 ORDER BY id""".stripMargin,
     "louvain_multilevel" ->
       // closed-form hierarchical plant: the final (level-2) community of v
       // is its clique PAIR's min member — cliques of 6, pairs of 12

@@ -290,6 +290,33 @@ class MoreAlgosSpec extends AnyFunSuite {
     assert(fix == Map(0L -> 0L, 7L -> 7L))
   }
 
+  test("jones-plassmann coloring: proper, <= maxdeg+1 colors, invariant") {
+    import graft.algos.Coloring
+    val ring = graft.core.Planted.ringOfCliques(spark, nCliques = 24, s = 5)
+    val cols = Coloring.jonesPlassmann(ring).as[(Long, Long)]
+      .collect().toMap
+    assert(cols.size == 120)
+    // proper: no edge joins two same-colored vertices
+    val bad = ring.select("src", "dst").as[(Long, Long)].collect()
+      .filter { case (a, b) => cols(a) == cols(b) }
+    assert(bad.isEmpty, s"improper edges: ${bad.take(5).toSeq}")
+    // Delta+1 bound: max degree in the ring of cliques is 6
+    assert(cols.values.max <= 6)
+    // a 5-clique needs 5 colors, so the chromatic floor is hit
+    assert(cols.values.toSet.size >= 5)
+    // determinism: partitioning must not change a single color
+    val cols2 = Coloring.jonesPlassmann(
+      ring.repartition(7, col("dst"))).as[(Long, Long)].collect().toMap
+    assert(cols2 == cols)
+    // hand case: path 0-1-2 with pri(1) highest? exact colors depend on
+    // the Lehmer order; assert properness + 2 colors (a path is bipartite
+    // and JP's mex on a path can use at most deg+1 = 3, greedy gives 2
+    // unless both neighbors of a middle vertex precede it with 0 and 1)
+    val path = Seq((0L, 1L), (1L, 2L)).toDF("src", "dst")
+    val pc = Coloring.jonesPlassmann(path).as[(Long, Long)].collect().toMap
+    assert(pc(0L) != pc(1L) && pc(1L) != pc(2L) && pc.values.max <= 2)
+  }
+
   test("bounded betweenness: theta-graph hand case, Brandes-exact") {
     import graft.algos.Betweenness
     // theta graph 0-{1,2}-3 plus tail 3-4: from seed 0, σ(1)=σ(2)=1,
