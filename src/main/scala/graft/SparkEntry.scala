@@ -704,6 +704,11 @@ object SparkEntry {
       // smaller-id cluster-mate at cos >= 0.4 (tau^2 = 4/25, integer-exact)
       graft.vectors.KMeans.semDedup(Tables(s, dir, "embeddings"),
         k = 10, iters = 3, tauNum = 4, tauDen = 25).orderBy("vec_id")),
+    "embedding_cluster_sample" -> ((s, dir) =>
+      // cluster-balanced (curriculum) sampling: Lehmer-ranked top-8 per
+      // Lloyd cluster, blocked window-free top-k
+      graft.vectors.KMeans.clusterSample(Tables(s, dir, "embeddings"),
+        k = 10, iters = 3, m = 8).orderBy("cluster", "rank")),
     "ann_ivf_trained_topk" -> ((s, dir) => {
       // IVF over TRAINED (grid-Lloyd) coarse cells — same cell count /
       // iterations as embedding_kmeans so the oracle reuses the Lloyd chain
@@ -2452,6 +2457,16 @@ object SparkEntry {
          |SELECT vec_id, CAST(cid AS INT) AS cluster,
          |       CAST(d2 AS BIGINT) AS dist2
          |FROM fin ORDER BY vec_id""".stripMargin,
+    "embedding_cluster_sample" ->
+      // Lloyd chain + per-cluster Lehmer ranking (ties by vec_id)
+      s"""$lloydCtes
+         |SELECT CAST(cid AS INT) AS cluster, rank, vec_id FROM (
+         |  SELECT cid, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY cid ORDER BY
+         |      ((vec_id % 2147483647) * 2654435761 + 7 * 40503 + 42)
+         |        % 2147483647 * 48271 % 2147483647, vec_id) AS rank
+         |  FROM fin)
+         |WHERE rank <= 8 ORDER BY cluster, rank""".stripMargin,
     "embedding_semdedup" ->
       // Lloyd chain + within-cluster integer cosine test: drop vec_b when a
       // smaller-id REFERENCE cluster-mate has dot>0 and

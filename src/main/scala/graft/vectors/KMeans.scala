@@ -292,4 +292,32 @@ object KMeans {
     assigned.unpersist(false)
     out
   }
+
+  /** Cluster-balanced sampling: up to `m` members per Lloyd cluster,
+    * ranked by the engine-portable Lehmer stream (ties by vec_id) — the
+    * diversity/curriculum subsampling stage of an embedding-curated corpus
+    * (pick a uniform quota from every semantic cluster instead of i.i.d.
+    * rows). Per-cluster top-m uses the blocked two-level
+    * `collect_list → sort_array → slice` shape (`Factorize.recommendTopK`,
+    * window-free): the shuffle carries ≤ ⌈N/blockSize⌉·m rows per cluster,
+    * never a whole skewed cluster through one reducer.
+    * Returns (cluster, rank, vec_id), rank 1..m.
+    */
+  def clusterSample(emb: DataFrame, k: Int, iters: Int, m: Int,
+      seed: Long = 42L, blockSize: Long = 4096L): DataFrame = {
+    require(m >= 1 && blockSize >= 1)
+    val assigned = lloyd(emb, k, iters)
+    val h = graft.algos.GraphOps.lehmerHash(col("vec_id"), lit(7L), seed)
+    val entry = struct(h.as("h"), col("vec_id").as("vec_id"))
+    assigned
+      .withColumn("blk", floor(col("vec_id") / blockSize))
+      .groupBy(col("cluster"), col("blk"))
+      .agg(slice(sort_array(collect_list(entry)), 1, m).as("top"))
+      .select(col("cluster"), explode(col("top")).as("c"))
+      .groupBy(col("cluster"))
+      .agg(slice(sort_array(collect_list(col("c"))), 1, m).as("top"))
+      .select(col("cluster"), posexplode(col("top")))
+      .select(col("cluster"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.vec_id").as("vec_id"))
+  }
 }

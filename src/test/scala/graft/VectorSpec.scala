@@ -306,4 +306,33 @@ class VectorSpec extends AnyFunSuite {
     assert(dupPartner.forall(out), "original was dropped")
     assert(out.count(!_._2) == 1, s"unexpected drops: ${out.filter(!_._2)}")
   }
+
+  test("cluster-balanced sample: quotas, ranking, block invariance") {
+    import graft.vectors.KMeans
+    val sel = KMeans.clusterSample(emb, k = 10, iters = 3, m = 8)
+      .as[(Int, Long, Long)].collect()
+    val assigned = KMeans.lloyd(emb, k = 10, iters = 3)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    // quota: min(m, |cluster|) rows per cluster, ranks dense from 1
+    val byC = sel.groupBy(_._1)
+    val sizes = assigned.groupBy(_._2).map { case (c, m2) => c -> m2.size }
+    byC.foreach { case (c, rows) =>
+      assert(rows.length == math.min(8, sizes(c)))
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
+      // every sampled member really belongs to the cluster
+      rows.foreach { case (_, _, v) => assert(assigned(v) == c) }
+    }
+    // the Lehmer ranking is what orders each cluster's sample
+    val P = 2147483647L
+    def h(v: Long) =
+      ((v % P) * 2654435761L + 7L * 40503L + 42L) % P * 48271L % P
+    byC.foreach { case (_, rows) =>
+      val want = rows.sortBy { case (_, _, v) => (h(v), v) }.map(_._3).toSeq
+      assert(rows.sortBy(_._2).map(_._3).toSeq == want)
+    }
+    // block size must not change the result (two-level top-k exactness)
+    val selB = KMeans.clusterSample(emb, k = 10, iters = 3, m = 8,
+      blockSize = 7L).as[(Int, Long, Long)].collect()
+    assert(selB.sorted.toSeq == sel.sorted.toSeq)
+  }
 }
