@@ -376,6 +376,20 @@ object SparkEntry {
           wBridge = 3L))
       graft.algos.Louvain.louvain(edges).orderBy(col("id"))
     }),
+    "graph_modularity" -> ((s, _) => {
+      // Newman Q of the multi-level Louvain partition on the planted
+      // hierarchy — the oracle recomputes Q from the fixture's closed-form
+      // final communities ((v/12)*12)
+      val edges = Fixtures.persist(s, "planted_paired_cliques",
+        graft.core.Planted.pairedCliques(s, nPairs = 12, s = 6,
+          wBridge = 3L))
+      graft.algos.Louvain.modularity(edges,
+        graft.algos.Louvain.louvain(edges))
+    }),
+    "graph_assortativity" -> ((s, dir) =>
+      // Newman 2002 degree assortativity of the link graph: exact integer
+      // moments, one identically-IEEE final ratio
+      graft.algos.GraphOps.degreeAssortativity(LinkGraph.edges(s, dir))),
     "timesvdpp_drift" -> ((s, _) => {
       // planted antisymmetric temporal drift (Planted.temporalRatings):
       // group-0 users rate −1/+1 at buckets 0/1, group-1 the opposite — the
@@ -1220,6 +1234,47 @@ object SparkEntry {
          |  UNION
          |  SELECT DISTINCT dst FROM ${Fixtures.sqlOf("planted_paired_cliques")})
          |ORDER BY id""".stripMargin,
+    "graph_modularity" ->
+      // Q recomputed from the fixture + closed-form partition; HUGEINT
+      // sums cast to BIGINT/DOUBLE to match the engine's 64-bit ledger
+      s"""WITH fx AS (SELECT * FROM ${Fixtures.sqlOf("planted_paired_cliques")}),
+         |win AS (
+         |  SELECT COALESCE(SUM(w), 0) AS win FROM fx
+         |  WHERE (src // 12) * 12 = (dst // 12) * 12),
+         |deg AS (
+         |  SELECT id, SUM(w) AS k FROM (
+         |    SELECT src AS id, w FROM fx UNION ALL SELECT dst, w FROM fx)
+         |  GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(SUM(s * s) AS BIGINT) AS ss,
+         |         CAST(SUM(s) AS BIGINT) AS m2 FROM (
+         |    SELECT (id // 12) * 12 AS c, SUM(k) AS s FROM deg GROUP BY 1))
+         |SELECT CAST(FLOOR(
+         |    CAST(m2 * 2 * win - ss AS DOUBLE)
+         |      / CAST(m2 * m2 AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS q_q6,
+         |  m2
+         |FROM win CROSS JOIN tot""".stripMargin,
+    "graph_assortativity" ->
+      s"""WITH edges AS MATERIALIZED (
+         |$E
+         |),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+         |  FROM edges WHERE src <> dst),
+         |b AS (SELECT u, v FROM und UNION ALL SELECT v, u FROM und),
+         |deg AS MATERIALIZED (
+         |  SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS d FROM b GROUP BY 1),
+         |p AS (SELECT dj.d AS dj, dk.d AS dk
+         |      FROM b JOIN deg dj ON dj.id = b.u JOIN deg dk ON dk.id = b.v),
+         |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         |        CAST(SUM(dj * dk) AS DOUBLE) AS sjk,
+         |        CAST(SUM(dj) AS DOUBLE) AS sj,
+         |        CAST(SUM(dj * dj) AS DOUBLE) AS sjj FROM p)
+         |SELECT m AS m_directed,
+         |  CAST(FLOOR((CAST(m AS DOUBLE) * sjk - sj * sj)
+         |    / (CAST(m AS DOUBLE) * sjj - sj * sj) * 1e6 + 0.5) AS BIGINT)
+         |    AS r_q6
+         |FROM s""".stripMargin,
     "timesvdpp_drift" ->
       // expected = the planted block means SHIFTED by the antisymmetric
       // drift (±1 by user group × bucket) — a static or bias-only model

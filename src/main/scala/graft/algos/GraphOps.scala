@@ -184,6 +184,39 @@ object GraphOps {
       .groupBy(col("deg")).agg(count(lit(1)).as("n_vertices"))
       .orderBy(col("deg"))
 
+  /** Degree assortativity coefficient (Newman 2002, Eq. 4) over the simple
+    * undirected graph: the Pearson correlation of end-vertex degrees over
+    * every DIRECTED edge instance. The moment sums are exact 64-bit
+    * integers (order-free); the final combination casts each SUM to
+    * double BEFORE multiplying — no 64-bit wraparound at any scale, and
+    * since both engines combine the same exact integers with the same
+    * IEEE operations, the q6 result stays bit-identical. Returns one row
+    * (m_directed, r_q6).
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val both = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
+    val deg = both.groupBy(col("u").as("id")).agg(count(lit(1)).as("d"))
+    val pairs = both
+      .join(deg.select(col("id").as("u"), col("d").as("dj")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("d").as("dk")), Seq("v"))
+    val s = pairs.agg(count(lit(1)).as("m"),
+      sum(col("dj") * col("dk")).as("sjk"),
+      sum(col("dj")).as("sj"),
+      sum(col("dj") * col("dj")).as("sjj"))
+    // r = (M·Sjk − Sj²) / (M·Sjj − Sj²); the symmetric doubling makes the
+    // j- and k-moments equal, so only the j side is summed
+    val (m, sjk, sj, sjj) = (col("m").cast("double"),
+      col("sjk").cast("double"), col("sj").cast("double"),
+      col("sjj").cast("double"))
+    s.select(col("m").as("m_directed"),
+      floor((m * sjk - sj * sj) / (m * sjj - sj * sj) * 1e6 + 0.5)
+        .cast("long").as("r_q6"))
+  }
+
   /** Weighted, seeded label propagation — the toolkit's label_propagation
     * (label_propagation.cpp:73-103): seed vertices carry frozen one-hot
     * label distributions; every round a non-seed vertex's distribution

@@ -164,6 +164,37 @@ object Louvain {
         greatest(col("cs"), col("cd")).as("dst"), col("w"))
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
 
+  /** Newman modularity Q of a partition, integer-exact until one final
+    * division: Q = (2m·2W_in − Σ_c Σ_tot(c)²) / (2m)², where W_in(c) sums
+    * intra-community edge weights once and Σ_tot sums member degrees
+    * (self-loops counted 2w, as everywhere here). Numerator and
+    * denominator are exact 64-bit sums (safe while (2m)² < 2^63, i.e.
+    * 2m < 3·10⁹ — beyond the 176 M-edge probe); the single division and
+    * q6 floor run on identical IEEE doubles in both engines. Returns one
+    * row (q_q6, m2).
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val lab = labels.select(col("id"), col("community"))
+    val e = edges
+      .join(lab.select(col("id").as("src"), col("community").as("cs")),
+        Seq("src"))
+      .join(lab.select(col("id").as("dst"), col("community").as("cd")),
+        Seq("dst"))
+    val win = e.filter(col("cs") === col("cd"))
+      .agg(coalesce(sum(col("w")), lit(0L)).as("win"))
+    val und = edges.select(col("src"), col("w"))
+      .unionAll(edges.select(col("dst").as("src"), col("w")))
+    val deg = und.groupBy(col("src").as("id")).agg(sum(col("w")).as("k"))
+    val tot = deg.join(lab, Seq("id"))
+      .groupBy(col("community")).agg(sum(col("k")).as("s"))
+      .agg(sum(col("s") * col("s")).as("ss"), sum(col("s")).as("m2"))
+    win.crossJoin(tot)
+      .select(floor((col("m2") * 2 * col("win") - col("ss"))
+          .cast("double") / (col("m2") * col("m2")).cast("double") * 1e6
+          + 0.5).cast("long").as("q_q6"),
+        col("m2"))
+  }
+
   /** Full multi-level Louvain (Blondel et al. 2008): alternate
     * [[localMoving]] and [[contract]] until a level merges nothing, then
     * map every ORIGINAL vertex to its top-level community. Labels stay

@@ -290,6 +290,33 @@ class MoreAlgosSpec extends AnyFunSuite {
     assert(fix == Map(0L -> 0L, 7L -> 7L))
   }
 
+  test("modularity + assortativity: hand-computed closed forms") {
+    import graft.algos.{GraphOps, Louvain}
+    // two triangles + bridge, partition = the triangles: 2m = 14,
+    // W_in = 6, Sigma_tot = 7 each -> Q = (14*12 - 98)/196 = 70/196
+    val twoTri = Seq((0L, 1L), (1L, 2L), (0L, 2L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (2L, 10L))
+      .toDF("src", "dst").withColumn("w", lit(1L))
+    val labels = Seq((0L, 0L), (1L, 0L), (2L, 0L),
+      (10L, 10L), (11L, 10L), (12L, 10L)).toDF("id", "community")
+    val (q, m2) = Louvain.modularity(twoTri, labels)
+      .as[(Long, Long)].head()
+    assert(m2 == 14L && q == math.floor(70.0 / 196 * 1e6 + 0.5).toLong)
+    // star S3 is the textbook r = -1 graph
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L))
+      .toDF("src", "dst").withColumn("weight", lit(1.0))
+    val (m, r) = GraphOps.degreeAssortativity(star)
+      .as[(Long, Long)].head()
+    assert(m == 6L && r == -1000000L, s"star: m=$m r=$r")
+    // 4-path: degree pairs over 6 directed instances give M=6, Sjk=16,
+    // Sj=10, Sjj=18 -> r = (96-100)/(108-100) = -1/2 exactly
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+      .toDF("src", "dst").withColumn("weight", lit(1.0))
+    val (mp, rp) = GraphOps.degreeAssortativity(path)
+      .as[(Long, Long)].head()
+    assert(mp == 6L && rp == -500000L, s"path: m=$mp r=$rp")
+  }
+
   test("jones-plassmann coloring: proper, <= maxdeg+1 colors, invariant") {
     import graft.algos.Coloring
     val ring = graft.core.Planted.ringOfCliques(spark, nCliques = 24, s = 5)
