@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe: round-5 operators at scale over a parked parquet edge set —
+  * clustering coefficient, degree assortativity, bounded betweenness
+  * (landmarks = id % 599 == 0, maxT = 3), and Jones-Plassmann coloring.
+  * Prints one timing line per operator. Not part of the gate.
+  *
+  * Usage: dev/run.sh graft.DevRound5Probe parquet:<dir> [ops-csv]
+  */
+object DevRound5Probe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty && args(0).startsWith("parquet:"), "need input")
+    val ops = if (args.length > 1) args(1).split(",").toSet
+      else Set("assort", "cc", "betweenness", "coloring")
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toInt)
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR", "/tmp/graft-spark"))
+      .config("spark.ui.enabled", false)
+      .appName("round5-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val raw = spark.read.parquet(args(0).drop(8))
+      .withColumn("weight", lit(1.0))
+    val n = raw.count()
+    def timed[T](name: String)(f: => T): Unit = {
+      val t0 = System.nanoTime()
+      val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[round5] $name edges=$n sec=$sec%.1f " +
+        f"edges_per_sec=${n / sec}%.0f result=$r")
+    }
+    if (ops("assort"))
+      timed("assortativity") {
+        graft.algos.GraphOps.degreeAssortativity(raw).collect().toSeq
+      }
+    if (ops("cc"))
+      timed("clustering_coefficient") {
+        graft.algos.TriangleCount.clusteringCoefficient(spark, raw)
+          .agg(count(lit(1)), max(col("lcc_q6"))).collect().toSeq
+      }
+    if (ops("betweenness")) {
+      // landmark thinning scales with |V| (Brandes-Pich sampling): the
+      // per-landmark cost is one bounded BFS tree, so #landmarks is the
+      // budget knob, orthogonal to engine scaling
+      val mod = sys.env.getOrElse("SPARK_GRAFT_BC_MOD", "59999").toLong
+      timed(s"betweenness_maxT3_mod$mod") {
+        val seeds = graft.core.LinkGraph.vertices(raw)
+          .filter(col("id") % mod === 0)
+        graft.algos.Betweenness.bounded(spark, raw, seeds, maxT = 3)
+          .agg(count(lit(1)), max(col("bc_q6"))).collect().toSeq
+      }
+    }
+    if (ops("coloring"))
+      timed("jones_plassmann") {
+        graft.algos.Coloring.jonesPlassmann(raw, maxRounds = 256)
+          .groupBy(col("color")).count().orderBy(col("color"))
+          .collect().length
+      }
+    spark.stop()
+  }
+}
