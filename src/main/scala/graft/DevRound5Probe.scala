@@ -61,6 +61,14 @@ object DevRound5Probe {
           .groupBy(col("color")).count().orderBy(col("color"))
           .collect().length
       }
+    if (ops("coloring_ldf"))
+      timed("jones_plassmann_ldf") {
+        val (df, rounds) = graft.algos.Coloring.run(raw, 256, 42L,
+          largestFirst = true)
+        val colors = df.groupBy(col("color")).count()
+          .orderBy(col("color")).collect().length
+        s"colors=$colors rounds=$rounds"
+      }
     spark.stop()
   }
 }

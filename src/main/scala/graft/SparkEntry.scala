@@ -365,6 +365,14 @@ object SparkEntry {
         graft.core.Planted.ringOfCliques(s, nCliques = 24, s = 5))
       graft.algos.Coloring.jonesPlassmann(edges).orderBy(col("id"))
     }),
+    "graph_coloring_ldf" -> ((s, _) => {
+      // largest-degree-first JP (the hub-round-blowup mitigation): decimal
+      // (degree, hash, id) priorities, same winner/mex loop — the oracle
+      // replays it with HUGEINT priorities
+      val edges = Fixtures.persist(s, "planted_ring_cliques",
+        graft.core.Planted.ringOfCliques(s, nCliques = 24, s = 5))
+      graft.algos.Coloring.jonesPlassmannLdf(edges).orderBy(col("id"))
+    }),
     "louvain_multilevel" -> ((s, _) => {
       // full multi-level Louvain (local moving + contraction) on the
       // planted paired-cliques hierarchy: level 1 recovers the cliques,
@@ -1023,9 +1031,17 @@ object SparkEntry {
     * identical fixed Lehmer priority, winner rule, and mex — rounds past
     * the fixpoint are idempotent (empty frontiers).
     */
-  private def jpCtes(rounds: Int): String = {
-    val pri = "((id % 2147483647) * 2654435761 + 42) % 2147483647" +
+  private def jpCtes(rounds: Int, ldf: Boolean = false): String = {
+    val hashPri = "((id % 2147483647) * 2654435761 + 42) % 2147483647" +
       " * 48271 % 2147483647 * 4294967296 + id % 4294967296"
+    // LDF: (degree, hash, id) lexicographic as one exact HUGEINT — the
+    // engine's decimal(38,0) encoding, bit for bit
+    val pri =
+      if (ldf) s"CAST(deg AS HUGEINT) * 9223372036854775808 + ($hashPri)"
+      else s"CAST($hashPri AS BIGINT)"
+    val ids =
+      if (ldf) "SELECT src AS id, COUNT(*) AS deg FROM und GROUP BY 1"
+      else "SELECT DISTINCT src AS id FROM und"
     val per = (1 to rounds).map { k =>
       s"""m$k AS (SELECT u.src AS id, MAX(p.pri) AS maxnp
          |  FROM und u JOIN u${k - 1} p ON p.id = u.dst GROUP BY 1),
@@ -1052,8 +1068,7 @@ object SparkEntry {
        |    SELECT dst, src FROM ${Fixtures.sqlOf("planted_ring_cliques")})
        |  WHERE src <> dst),
        |u0 AS MATERIALIZED (
-       |  SELECT id, CAST($pri AS BIGINT) AS pri FROM (
-       |    SELECT DISTINCT src AS id FROM und)),
+       |  SELECT id, $pri AS pri FROM ($ids)),
        |col0 AS (SELECT CAST(NULL AS BIGINT) AS id,
        |         CAST(NULL AS BIGINT) AS color WHERE FALSE),
        |$per""".stripMargin
@@ -1224,6 +1239,11 @@ object SparkEntry {
       // the full JP round loop re-derived in DuckDB (20 unrolled rounds,
       // extras idempotent); identical priority, winner, and mex arithmetic
       s"""${jpCtes(20)}
+         |SELECT id, color FROM col20 ORDER BY id""".stripMargin,
+    "graph_coloring_ldf" ->
+      // the LDF loop with HUGEINT (degree, hash, id) priorities — same
+      // unroll-past-fixpoint idempotence
+      s"""${jpCtes(20, ldf = true)}
          |SELECT id, color FROM col20 ORDER BY id""".stripMargin,
     "louvain_multilevel" ->
       // closed-form hierarchical plant: the final (level-2) community of v

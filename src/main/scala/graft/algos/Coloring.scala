@@ -24,20 +24,51 @@ import org.apache.spark.storage.StorageLevel
   * map-side combinable aggregates), frontier-sized anti-joins — the
   * PageRank-superstep family. State is stats-rebased per round
   * (Dataflow.checkpointRebased).
+  *
+  * [[jonesPlassmannLdf]] is the largest-degree-first variant (Hasenplaugh
+  * et al., SPAA'14 "Ordering heuristics for parallel graph coloring"): the
+  * round count of random-priority JP on hub-heavy power-law graphs scales
+  * with the hub degree spread (a hub wins its contest only after nearly
+  * every neighbor is colored — measured 12.4 K edges/s at 22 M edges,
+  * BENCH.md). LDF priority = (degree, hash, id) lexicographic, encoded as
+  * one exact decimal(38,0) ≤ 2^98 so the winner max/compare stays a plain
+  * numeric aggregate in both engines (the long would overflow): hubs color
+  * in the first rounds and the million-vertex low-degree classes — whose
+  * neighbors are mostly those hubs — finish right behind them. Same
+  * properness/≤Δ+1 guarantees, same determinism (the hash and id break
+  * within-degree ties, unique because id is).
   */
 object Coloring {
 
   def jonesPlassmann(edges: DataFrame, maxRounds: Int = 64,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L): DataFrame =
+    run(edges, maxRounds, seed, largestFirst = false)._1
+
+  def jonesPlassmannLdf(edges: DataFrame, maxRounds: Int = 64,
+      seed: Long = 42L): DataFrame =
+    run(edges, maxRounds, seed, largestFirst = true)._1
+
+  /** Variant returning the round count too (probes, specs). */
+  def run(edges: DataFrame, maxRounds: Int, seed: Long,
+      largestFirst: Boolean): (DataFrame, Int) = {
     val und = edges
       .select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pri = (GraphOps.lehmerHash(col("id"), lit(0L), seed) *
-      4294967296L + (col("id") % 4294967296L)).as("pri")
-    var uncol = graft.core.Dataflow.checkpointRebased(
-      und.select(col("src").as("id")).distinct().select(col("id"), pri))
+    val hashPri = GraphOps.lehmerHash(col("id"), lit(0L), seed) *
+      4294967296L + (col("id") % 4294967296L)
+    val dec = "decimal(38,0)"
+    val init =
+      if (largestFirst) und.groupBy(col("src").as("id"))
+        .agg(count(lit(1)).as("deg"))
+        .select(col("id"),
+          (col("deg").cast(dec) *
+            lit(new java.math.BigDecimal("9223372036854775808")) +
+            hashPri.cast(dec)).as("pri"))
+      else und.select(col("src").as("id")).distinct()
+        .select(col("id"), hashPri.as("pri"))
+    var uncol = graft.core.Dataflow.checkpointRebased(init)
     var colored: DataFrame = null // (id, color)
     var round = 0
     while (!uncol.isEmpty) {
@@ -76,8 +107,10 @@ object Coloring {
       round += 1
     }
     und.unpersist(false)
-    if (colored == null)
-      uncol.select(col("id"), lit(0L).as("color")).limit(0)
-    else colored
+    val out =
+      if (colored == null)
+        uncol.select(col("id"), lit(0L).as("color")).limit(0)
+      else colored
+    (out, round)
   }
 }

@@ -344,6 +344,35 @@ class MoreAlgosSpec extends AnyFunSuite {
     assert(pc(0L) != pc(1L) && pc(1L) != pc(2L) && pc.values.max <= 2)
   }
 
+  test("largest-degree-first coloring: hub-first rounds, proper, invariant") {
+    import graft.algos.Coloring
+    // star: the hub (unique max degree) wins round 1 outright regardless
+    // of hash, every leaf's only higher-priority neighbor is then colored
+    // -> exactly 2 rounds and 2 colors (random-priority JP needs up to 3:
+    // leaves that hash below the hub wait a round for it)
+    val star = (0L to 9L).map(l => (100L, l)).toDF("src", "dst")
+    val (starDf, rounds) = Coloring.run(star, 64, 42L, largestFirst = true)
+    val sc = starDf.as[(Long, Long)].collect().toMap
+    assert(rounds == 2, s"star LDF rounds = $rounds")
+    assert(sc(100L) == 0L && (0L to 9L).forall(sc(_) == 1L))
+    // ring of cliques: proper, Delta+1 bound (max degree 5 -> <= 6
+    // colors), 5-clique chromatic floor, partitioning invariance
+    val ring = graft.core.Planted.ringOfCliques(spark, nCliques = 24, s = 5)
+    val cols = Coloring.jonesPlassmannLdf(ring).as[(Long, Long)]
+      .collect().toMap
+    assert(cols.size == 120)
+    val bad = ring.select("src", "dst").as[(Long, Long)].collect()
+      .filter { case (a, b) => cols(a) == cols(b) }
+    assert(bad.isEmpty, s"improper edges: ${bad.take(5).toSeq}")
+    assert(cols.values.max <= 5 && cols.values.toSet.size >= 5)
+    val cols2 = Coloring.jonesPlassmannLdf(
+      ring.repartition(7, col("dst"))).as[(Long, Long)].collect().toMap
+    assert(cols2 == cols)
+    // the oracle unrolls 20 rounds — the engine must converge within that
+    val (_, ringRounds) = Coloring.run(ring, 64, 42L, largestFirst = true)
+    assert(ringRounds <= 20, s"ring LDF rounds = $ringRounds")
+  }
+
   test("bounded betweenness: theta-graph hand case, Brandes-exact") {
     import graft.algos.Betweenness
     // theta graph 0-{1,2}-3 plus tail 3-4: from seed 0, σ(1)=σ(2)=1,
