@@ -373,6 +373,41 @@ object SparkEntry {
         graft.core.Planted.ringOfCliques(s, nCliques = 24, s = 5))
       graft.algos.Coloring.jonesPlassmannLdf(edges).orderBy(col("id"))
     }),
+    "doc_nb_classifier" -> ((s, _) => {
+      // trainable domain/quality classifier (the CCNet/fastText pipeline
+      // role): NB log-odds over hashed bag-of-words, trained on the 80%
+      // split of the planted two-domain corpus, scored over ALL docs —
+      // the oracle retrains and rescores the identical closed form
+      val docs = Fixtures.persist(s, "planted_two_domain_docs",
+        graft.core.Planted.twoDomainDocs(s))
+      val feats = graft.text.Classifier.hashedCounts(docs, 4096)
+      val trainLabels = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), col("label").as("y"))
+      val (w, b) = graft.text.Classifier.trainNb(feats, trainLabels, 4096)
+      graft.text.Classifier.classify(feats, w, b)
+        .join(docs.select(col("doc_id"), col("label").as("y")), "doc_id")
+        .select(col("doc_id"), col("y"),
+          when(col("doc_id") % 5 =!= 0, 1L).otherwise(0L).as("train"),
+          col("margin"), col("pred"))
+        .orderBy(col("doc_id"))
+    }),
+    "graph_mis" -> ((s, _) => {
+      // Luby's maximal independent set on the planted ring of cliques —
+      // same fixed Lehmer priorities as graph_coloring; winners plus their
+      // neighborhoods retire each round, oracle replays the loop unrolled
+      val edges = Fixtures.persist(s, "planted_ring_cliques",
+        graft.core.Planted.ringOfCliques(s, nCliques = 24, s = 5))
+      graft.algos.Mis.luby(edges).orderBy(col("id"))
+    }),
+    "graph_link_prediction" -> ((s, dir) => {
+      // top-200 predicted links of the derived graph by resource-allocation
+      // score: wedge enumeration at apexes of degree <= 64 (the hub cap —
+      // supplier/nation hubs carry near-zero RA/AA weight by definition),
+      // >= 2 shared neighbors, exact integer q6 scores
+      graft.algos.LinkPrediction
+        .scores(LinkGraph.edges(s, dir), maxApexDegree = 64L, minCn = 2L)
+        .orderBy(desc("ra_q6"), col("u"), col("v")).limit(200)
+    }),
     "louvain_multilevel" -> ((s, _) => {
       // full multi-level Louvain (local moving + contraction) on the
       // planted paired-cliques hierarchy: level 1 recovers the cliques,
@@ -1074,6 +1109,43 @@ object SparkEntry {
        |$per""".stripMargin
   }
 
+  /** Unrolled Luby-MIS rounds for the graph_mis oracle: the coloring
+    * oracle's priority contest, but winners retire their whole
+    * neighborhood each round; extra unrolled rounds are idempotent.
+    */
+  private def misCtes(rounds: Int): String = {
+    val pri = "((id % 2147483647) * 2654435761 + 42) % 2147483647" +
+      " * 48271 % 2147483647 * 4294967296 + id % 4294967296"
+    val per = (1 to rounds).map { k =>
+      s"""m$k AS (SELECT u.src AS id, MAX(p.pri) AS maxnp
+         |  FROM und u JOIN u${k - 1} p ON p.id = u.dst GROUP BY 1),
+         |w$k AS MATERIALIZED (
+         |  SELECT q.id FROM u${k - 1} q LEFT JOIN m$k m ON m.id = q.id
+         |  WHERE m.maxnp IS NULL OR q.pri > m.maxnp),
+         |mis$k AS MATERIALIZED (
+         |  SELECT * FROM mis${k - 1}
+         |  UNION ALL SELECT id, CAST($k AS BIGINT) AS mis_round FROM w$k),
+         |u$k AS MATERIALIZED (
+         |  SELECT q.id, q.pri FROM u${k - 1} q
+         |  LEFT JOIN w$k w ON w.id = q.id
+         |  LEFT JOIN (SELECT DISTINCT u.src AS id
+         |    FROM und u JOIN w$k ww ON ww.id = u.dst) nw ON nw.id = q.id
+         |  WHERE w.id IS NULL AND nw.id IS NULL)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH und AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM ${Fixtures.sqlOf("planted_ring_cliques")}
+       |    UNION ALL
+       |    SELECT dst, src FROM ${Fixtures.sqlOf("planted_ring_cliques")})
+       |  WHERE src <> dst),
+       |u0 AS MATERIALIZED (
+       |  SELECT id, CAST($pri AS BIGINT) AS pri FROM (
+       |    SELECT DISTINCT src AS id FROM und)),
+       |mis0 AS (SELECT CAST(NULL AS BIGINT) AS id,
+       |         CAST(NULL AS BIGINT) AS mis_round WHERE FALSE),
+       |$per""".stripMargin
+  }
+
   private def bpeCtes(m: Int): String = {
     def round(k: Int): String = {
       val prev = s"wf${k - 1}"
@@ -1245,6 +1317,58 @@ object SparkEntry {
       // unroll-past-fixpoint idempotence
       s"""${jpCtes(20, ldf = true)}
          |SELECT id, color FROM col20 ORDER BY id""".stripMargin,
+    "doc_nb_classifier" ->
+      // full NB retrain + rescore in DuckDB: identical hashing, add-one
+      // smoothing, per-feature q6 ln quantization BEFORE the sums
+      s"""WITH docs AS (SELECT * FROM ${Fixtures.sqlOf(
+            "planted_two_domain_docs")}),
+         |toks AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM docs WHERE length(trim(text)) > 0),
+         |feats AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    ('0x' || substr(md5(tok), 1, 7))::BIGINT % 4096 AS fid,
+         |    CAST(COUNT(*) AS BIGINT) AS x
+         |  FROM toks GROUP BY 1, 2),
+         |lab AS (SELECT doc_id, label AS y,
+         |    CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END AS train
+         |  FROM docs),
+         |tr AS MATERIALIZED (
+         |  SELECT f.fid, f.x, l.y FROM feats f
+         |  JOIN lab l USING (doc_id) WHERE l.train = 1),
+         |perf AS (SELECT fid,
+         |    CAST(SUM(CASE WHEN y > 0 THEN x ELSE 0 END) AS BIGINT) AS cp,
+         |    CAST(SUM(CASE WHEN y < 0 THEN x ELSE 0 END) AS BIGINT) AS cn
+         |  FROM tr GROUP BY 1),
+         |tot AS (SELECT
+         |    CAST(SUM(CASE WHEN y > 0 THEN x ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(SUM(CASE WHEN y < 0 THEN x ELSE 0 END) AS BIGINT) AS tn
+         |  FROM tr),
+         |w AS MATERIALIZED (SELECT fid,
+         |    CAST(FLOOR(LN((cp + 1.0) / (tp + 4096)) * 1e6 + 0.5) AS BIGINT)
+         |    - CAST(FLOOR(LN((cn + 1.0) / (tn + 4096)) * 1e6 + 0.5) AS BIGINT)
+         |      AS w
+         |  FROM perf, tot),
+         |b AS (SELECT CAST(FLOOR(LN(
+         |    SUM(CASE WHEN y > 0 THEN 1.0 ELSE 0 END) /
+         |    SUM(CASE WHEN y < 0 THEN 1.0 ELSE 0 END)) * 1e6 + 0.5)
+         |    AS BIGINT) AS b FROM lab WHERE train = 1),
+         |sc AS (SELECT f.doc_id, CAST(SUM(f.x * w.w) AS BIGINT) AS m
+         |  FROM feats f JOIN w USING (fid) GROUP BY 1)
+         |SELECT l.doc_id, l.y, CAST(l.train AS BIGINT) AS train,
+         |  COALESCE(sc.m, 0) + b.b AS margin,
+         |  CAST(CASE WHEN COALESCE(sc.m, 0) + b.b > 0 THEN 1
+         |       ELSE -1 END AS BIGINT) AS pred
+         |FROM lab l LEFT JOIN sc USING (doc_id), b
+         |ORDER BY l.doc_id""".stripMargin,
+    "graph_mis" ->
+      // the Luby loop re-derived in DuckDB (12 unrolled rounds, extras
+      // idempotent); identical priority contest, neighborhood retirement
+      s"""${misCtes(12)}
+         |SELECT id, mis_round FROM mis12 ORDER BY id""".stripMargin,
+    "graph_link_prediction" ->
+      graft.algos.LinkPrediction.oracleSql(E, maxApexDegree = 64L,
+        minCn = 2L, topK = 200),
     "louvain_multilevel" ->
       // closed-form hierarchical plant: the final (level-2) community of v
       // is its clique PAIR's min member — cliques of 6, pairs of 12

@@ -282,4 +282,32 @@ object Planted {
         lit(1L).as("w"))
     cliqueEdges.unionAll(bridges).unionAll(ringEdges)
   }
+
+  /** Two-domain document corpus for the trainable quality/domain
+    * classifier: doc i has label +1 (even i) or −1 (odd i) and `nSlots`
+    * whitespace tokens — 70% drawn from a 50-word shared vocabulary
+    * (`c0..c49`), 30% from a 20-word label-specific vocabulary
+    * (`p0..p19` for +1, `n0..n19` for −1). Token choices come from the
+    * Lehmer hash of (doc, slot), so generation is a pure column
+    * expression over `spark.range` — distributed, partitioning-
+    * independent — and the persisted fixture is byte-identical for the
+    * DuckDB oracle. The domains are linearly separable in bag-of-words
+    * space by construction (the p/n vocabularies are disjoint), so a
+    * sound classifier must reach ~perfect held-out accuracy.
+    */
+  def twoDomainDocs(spark: SparkSession, nDocs: Int = 600,
+      nSlots: Int = 40): DataFrame = {
+    import graft.algos.GraphOps.lehmerHash
+    spark.range(0, nDocs.toLong, 1, 8)
+      .select(col("id").as("doc_id"),
+        when(col("id") % 2 === 0, 1L).otherwise(-1L).as("label"))
+      .select(col("doc_id"), col("label"),
+        concat_ws(" ", transform(sequence(lit(0L), lit(nSlots - 1L)), { j =>
+          val r = lehmerHash(col("doc_id"), j, 7L)
+          when(r % 10 < 7, concat(lit("c"), (r % 50).cast("string")))
+            .otherwise(concat(
+              when(col("label") > 0, lit("p")).otherwise(lit("n")),
+              (r % 20).cast("string")))
+        })).as("text"))
+  }
 }

@@ -373,6 +373,81 @@ class MoreAlgosSpec extends AnyFunSuite {
     assert(ringRounds <= 20, s"ring LDF rounds = $ringRounds")
   }
 
+  test("luby MIS: independent, maximal, deterministic, bounded rounds") {
+    import graft.algos.Mis
+    val ring = graft.core.Planted.ringOfCliques(spark, nCliques = 24, s = 5)
+    val und = ring.select("src", "dst").as[(Long, Long)].collect()
+      .flatMap(e => Seq(e, e.swap)).toSet
+    val (misDf, rounds) = Mis.run(ring)
+    val mis = misDf.as[(Long, Long)].collect().toMap
+    // independence: no edge joins two MIS members
+    assert(!und.exists { case (a, b) => mis.contains(a) && mis.contains(b) })
+    // maximality: every non-member has a member neighbor
+    val verts = und.map(_._1)
+    val nbrs = und.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val uncovered = verts.filterNot(v =>
+      mis.contains(v) || nbrs(v).exists(mis.contains))
+    assert(uncovered.isEmpty, s"not maximal at: ${uncovered.take(5)}")
+    // a 5-clique admits exactly one member -> |MIS| <= 24, and the ring
+    // structure forces at least one member per 2 consecutive cliques
+    assert(mis.size <= 24 && mis.size >= 12, s"|MIS| = ${mis.size}")
+    // the oracle unrolls 12 rounds; rounds are 1-based in the output
+    assert(rounds <= 12 && mis.values.max <= rounds)
+    // partitioning invariance (bit-identical rounds too)
+    val mis2 = Mis.luby(ring.repartition(7, col("dst")))
+      .as[(Long, Long)].collect().toMap
+    assert(mis2 == mis)
+    // star: MIS is either {hub} or all leaves, never a mix
+    val star = (0L to 9L).map(l => (100L, l)).toDF("src", "dst")
+    val sm = Mis.luby(star).as[(Long, Long)].collect().toMap.keySet
+    assert(sm == Set(100L) || sm == (0L to 9L).toSet)
+  }
+
+  test("link prediction: closed forms, apex cap, ln-quantization margin") {
+    import graft.algos.LinkPrediction
+    // 4-cycle 0-1-2-3: non-edges {0,2} and {1,3}, each with both opposite
+    // corners as common neighbors (deg 2 everywhere) ->
+    // cn=2, jaccard=2/(2+2-2)=1, ra=2*(1e6 DIV 2), aa=2*(1e12 DIV q6(ln 2))
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    val c = LinkPrediction.scores(cyc)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(c == Set((0L, 2L, 2L, 1000000L, 1000000L, 2885390L),
+      (1L, 3L, 2L, 1000000L, 1000000L, 2885390L)))
+    // apex cap: hub h(deg 4) and z(deg 2) both connect a,b; cap 3 keeps
+    // only z's wedge for (a,b) -> cn=1, jaccard=1/(2+2-1), ra=1e6 DIV 2,
+    // aa=1e12 DIV 693147; uncapped cn=2. The (h,z) pair itself scores via
+    // its two deg-2 common neighbors a,b: cn=2, jaccard=2/(4+2-2)
+    val hub = Seq((50L, 1L), (50L, 2L), (50L, 3L), (50L, 4L), (60L, 1L),
+      (60L, 2L)).toDF("src", "dst")
+    val capped = LinkPrediction.scores(hub, maxApexDegree = 3L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L, 1L, 333333L, 500000L, 1442695L),
+      (50L, 60L, 2L, 500000L, 1000000L, 2885390L)))
+    val full = LinkPrediction.scores(hub)
+      .filter(col("u") === 1L && col("v") === 2L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(full == Set((1L, 2L, 2L, 1000000L, 750000L, 2164042L)))
+    // partitioning invariance on the real sf0.001 graph, capped like the
+    // gate query
+    val g1 = LinkPrediction.scores(edgesDf, 64L, 2L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    val g2 = LinkPrediction.scores(edgesDf.repartition(7, col("dst")),
+      64L, 2L).as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(g1 == g2 && g1.nonEmpty)
+    // the one float op: floor(ln(d)*1e6 + 0.5) sits >= 3.6e-7 from every
+    // half-integer boundary for ALL degrees d <= 2e6 (cross-engine ulp
+    // disagreement at this magnitude is ~2e-9 -- 100x clearance)
+    var worst = 1.0
+    var d = 2L
+    while (d <= 2000000L) {
+      val x = math.log(d.toDouble) * 1e6
+      val dist = math.abs((x - math.floor(x)) - 0.5)
+      if (dist < worst) worst = dist
+      d += 1
+    }
+    assert(worst > 3.5e-7, s"ln q6 margin collapsed: $worst")
+  }
+
   test("bounded betweenness: theta-graph hand case, Brandes-exact") {
     import graft.algos.Betweenness
     // theta graph 0-{1,2}-3 plus tail 3-4: from seed 0, σ(1)=σ(2)=1,

@@ -375,4 +375,52 @@ class TextSpec extends AnyFunSuite {
     assert(means(true) > means(false),
       s"en target mean must exceed non-en: $means")
   }
+
+  test("NB classifier: exact hand weights, held-out recovery, invariance") {
+    import graft.text.Classifier
+    // hand case: 2 docs, F=16. pos doc "aa aa bb", neg doc "cc".
+    // tp=3, tn=1; w(fid) = q6(ln((cp+1)/(tp+16))) - q6(ln((cn+1)/(tn+16)))
+    val hand = Seq((0L, "aa aa bb", 1L), (1L, "cc", -1L))
+      .toDF("doc_id", "text", "y")
+    val f = Classifier.hashedCounts(hand.select("doc_id", "text"), 16)
+    val (w, b) = Classifier.trainNb(f, hand.select("doc_id", "y"), 16)
+    def q6ln(x: Double) = math.floor(math.log(x) * 1e6 + 0.5).toLong
+    def fid(tok: String, m: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 7), 16) % m
+    }
+    val wm = w.as[(Long, Long)].collect().toMap
+    assert(wm(fid("aa", 16)) == q6ln(3.0 / 19) - q6ln(1.0 / 17))
+    assert(wm(fid("bb", 16)) == q6ln(2.0 / 19) - q6ln(1.0 / 17))
+    assert(wm(fid("cc", 16)) == q6ln(1.0 / 19) - q6ln(2.0 / 17))
+    assert(b.as[Long].collect().toSeq == Seq(0L)) // ln(1/1) = 0
+    // planted two-domain corpus: train on 80%, ALL docs (train + the
+    // held-out 20%) must classify perfectly — the p/n vocabularies are
+    // disjoint by construction
+    val docs2 = graft.core.Planted.twoDomainDocs(spark)
+    val feats = Classifier.hashedCounts(
+      docs2.select("doc_id", "text"), 4096)
+    val trainL = docs2.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("label").as("y"))
+    val (w2, b2) = Classifier.trainNb(feats, trainL, 4096)
+    val out = Classifier.classify(feats, w2, b2)
+      .join(docs2.select(col("doc_id"), col("label")), "doc_id")
+    assert(out.count() == 600)
+    val wrong = out.filter(col("pred") =!= col("label")).count()
+    assert(wrong == 0, s"misclassified $wrong of 600")
+    // bias-only path: a doc of only unseen tokens scores exactly b
+    val novel = Classifier.classify(
+      Classifier.hashedCounts(Seq((9L, "zz")).toDF("doc_id", "text"), 16),
+      w, b).as[(Long, Long, Long)].collect().toSeq
+    assert(novel.map(_._2) == Seq(0L))
+    // partitioning invariance (order-free integer sums)
+    val m1 = Classifier.classify(feats, w2, b2)
+      .as[(Long, Long, Long)].collect().toSet
+    val (w3, b3) = Classifier.trainNb(
+      feats.repartition(7, col("fid")), trainL.repartition(3), 4096)
+    val m2 = Classifier.classify(feats.repartition(5, col("doc_id")),
+      w3, b3).as[(Long, Long, Long)].collect().toSet
+    assert(m1 == m2)
+  }
 }
