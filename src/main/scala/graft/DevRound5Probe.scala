@@ -69,6 +69,38 @@ object DevRound5Probe {
           .orderBy(col("color")).collect().length
         s"colors=$colors rounds=$rounds"
       }
+    if (ops("mis"))
+      timed("luby_mis") {
+        val (df, rounds) = graft.algos.Mis.run(raw)
+        s"mis_size=${df.count()} rounds=$rounds"
+      }
+    if (ops("linkpred"))
+      // the gate query's cap-64 semantics at scale: candidate volume is
+      // the claim under test (bounded by |apexes| * C(cap,2), never
+      // degree-squared on the hubs)
+      timed("link_prediction_cap64") {
+        val sc = graft.algos.LinkPrediction.scores(raw, 64L, 2L)
+        s"candidates=${sc.count()}"
+      }
+    if (ops("nb")) {
+      // classifier at corpus scale: synthesize a 2M-doc two-domain
+      // corpus (~80M tokens), train on the 80% split, score everything
+      val docs = graft.core.Planted.twoDomainDocs(spark, nDocs = 2000000)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val nd = docs.count()
+      timed("nb_classifier_2m_docs") {
+        val feats = graft.text.Classifier.hashedCounts(
+          docs.select("doc_id", "text"), 1 << 20)
+        val trainL = docs.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), col("label").as("y"))
+        val (w, b) = graft.text.Classifier.trainNb(feats, trainL, 1 << 20)
+        val out = graft.text.Classifier.classify(feats, w, b)
+          .join(docs.select(col("doc_id"), col("label")), "doc_id")
+        val wrong = out.filter(col("pred") =!= col("label")).count()
+        s"docs=$nd wrong=$wrong"
+      }
+      docs.unpersist(false)
+    }
     spark.stop()
   }
 }
