@@ -774,6 +774,23 @@ object SparkEntry {
         k = 5, cells = 10, iters = 3, nprobe = 2)
         .orderBy(col("query_id"), col("rank"))
     }),
+    "ann_pq_topk" -> ((s, dir) => {
+      // product-quantization ADC top-5 (m=8 subspaces, ks=16 codes each,
+      // 2 joint grid-Lloyd iterations): the compressed-exhaustive ANN leg —
+      // the oracle replays training, encoding, and the table-lookup scan
+      val emb = Tables(s, dir, "embeddings")
+      graft.vectors.Pq.adcTopK(emb, emb.filter(col("vec_id") < 10),
+        scale = 1000, m = 8, ks = 16, iters = 2, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "ann_pq_recall" -> ((s, dir) => {
+      // recall@5 of the ADC ranking vs the EXACT grid-L2 top-5 — the same
+      // driver-visible quality gate the LSH and trained-IVF paths carry
+      val emb = Tables(s, dir, "embeddings")
+      graft.vectors.Pq.adcRecall(emb, emb.filter(col("vec_id") < 10),
+        scale = 1000, m = 8, ks = 16, iters = 2, k = 5)
+        .orderBy(col("query_id"))
+    }),
     "ann_lsh_recall" -> ((s, dir) => {
       // recall@5 of the LSH path against the exact brute-force top-5, per
       // query (VERDICT r2 item 6: makes the approximate path's quality claim
@@ -1007,6 +1024,64 @@ object SparkEntry {
        |${assign("c2", "a3")},
        |${update("a3", "c3")},
        |${assign("c3", "fin")}""".stripMargin
+  }
+
+  /** Product-quantization chain for the ann_pq_* oracles: per-subspace
+    * grid-Lloyd codebooks (m=8 × ks=16, 2 unrolled joint iterations —
+    * the lloydCtes assign/floorDiv-update arithmetic with `sub` riding
+    * every key), PQ codes, and the ADC table-lookup scan for queries
+    * vec_id < 10.
+    */
+  private def pqCtes: String = {
+    def assign(c: String, a: String) =
+      s"""$a AS MATERIALIZED (
+         |  SELECT vec_id, sub, cid FROM (
+         |    SELECT vec_id, sub, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |                         ORDER BY d2, cid) AS rn
+         |    FROM (SELECT q.vec_id, q.sub, c.cid,
+         |            SUM((q.v - c.v) * (q.v - c.v)) AS d2
+         |          FROM pqv q
+         |          JOIN $c c ON c.sub = q.sub AND c.spos = q.spos
+         |          GROUP BY 1, 2, 3))
+         |  WHERE rn = 1)"""
+    def update(a: String, c: String) =
+      s"""$c AS MATERIALIZED (
+         |  SELECT a.sub, a.cid, q.spos,
+         |    CAST((SUM(q.v) - (((SUM(q.v) % COUNT(*)) + COUNT(*)) % COUNT(*)))
+         |         / COUNT(*) AS BIGINT) AS v
+         |  FROM pqv q JOIN $a a ON a.vec_id = q.vec_id AND a.sub = q.sub
+         |  GROUP BY 1, 2, 3)"""
+    s"""WITH pqv AS MATERIALIZED (
+       |  SELECT vec_id, (d.range // 8)::INT AS sub, (d.range % 8)::INT AS spos,
+       |    CAST(floor(CAST(embedding[(d.range + 1)::INT] AS DOUBLE) * 1000
+       |               + 0.5) AS BIGINT) AS v
+       |  FROM embeddings, range(64) d),
+       |pqseeds AS (
+       |  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid
+       |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |pqc0 AS MATERIALIZED (
+       |  SELECT s.cid, q.sub, q.spos, q.v
+       |  FROM pqv q JOIN pqseeds s USING (vec_id)),
+       |${assign("pqc0", "pqa1")},
+       |${update("pqa1", "pqc1")},
+       |${assign("pqc1", "pqa2")},
+       |${update("pqa2", "pqc2")},
+       |${assign("pqc2", "pqcodes")},
+       |pqt AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, q.sub, c.cid AS code,
+       |    SUM((q.v - c.v) * (q.v - c.v)) AS pd2
+       |  FROM pqv q JOIN pqc2 c ON c.sub = q.sub AND c.spos = q.spos
+       |  WHERE q.vec_id < 10 GROUP BY 1, 2, 3),
+       |pqsc AS MATERIALIZED (
+       |  SELECT t.query_id, e.vec_id, CAST(SUM(t.pd2) AS BIGINT) AS adist2
+       |  FROM pqcodes e JOIN pqt t ON t.sub = e.sub AND t.code = e.cid
+       |  GROUP BY 1, 2),
+       |pqrk AS (
+       |  SELECT query_id, vec_id, adist2,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY adist2, vec_id) AS rank
+       |  FROM pqsc)""".stripMargin
   }
 
   /** [[lloydCtes]] extended with the trained-IVF probe/rerank chain
@@ -2743,6 +2818,33 @@ object SparkEntry {
          |FROM (SELECT DISTINCT query_id FROM br) qq
          |LEFT JOIN hits h ON h.query_id = qq.query_id
          |ORDER BY qq.query_id""".stripMargin,
+    "ann_pq_topk" ->
+      // the full PQ chain re-derived: 2 unrolled joint Lloyd iterations
+      // per subspace, codes, ADC table-lookup sums, (adist2, vec_id) rank
+      s"""$pqCtes
+         |SELECT query_id, rank, vec_id, adist2
+         |FROM pqrk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_pq_recall" ->
+      // ADC top-5 ∩ exact grid-L2 top-5 per query, as an integer hit count
+      s"""$pqCtes,
+         |exd AS MATERIALIZED (
+         |  SELECT f.vec_id AS query_id, e.vec_id,
+         |    SUM((e.v - f.v) * (e.v - f.v)) AS d2
+         |  FROM pqv e JOIN pqv f ON f.sub = e.sub AND f.spos = e.spos
+         |  WHERE f.vec_id < 10 GROUP BY 1, 2),
+         |exr AS (SELECT query_id, vec_id FROM (
+         |  SELECT query_id, vec_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY d2, vec_id) AS rn
+         |  FROM exd) WHERE rn <= 5),
+         |hit AS (SELECT a.query_id, a.vec_id FROM
+         |  (SELECT query_id, vec_id FROM pqrk WHERE rank <= 5) a
+         |  JOIN exr USING (query_id, vec_id))
+         |SELECT q.query_id, CAST(COUNT(h.vec_id) AS BIGINT) AS hits
+         |FROM (SELECT DISTINCT vec_id AS query_id FROM embeddings
+         |      WHERE vec_id < 10) q
+         |LEFT JOIN hit h ON h.query_id = q.query_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ann_lsh_recall" ->
       // both pipelines re-derived (brute CTEs + LSH CTEs), then per-query
       // overlap of the two top-5 sets; recall_pct = hits × 20

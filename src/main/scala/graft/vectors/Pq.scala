@@ -1,0 +1,158 @@
+package graft.vectors
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization for ANN (Jégou, Douze & Schmid, TPAMI 2011) — the
+  * compression leg of the IVF family [[KMeans.ivfSearch]] already covers
+  * the pruning leg of: split the d-dim embedding into `m` subspaces of
+  * d/m dims, train an independent `ks`-centroid codebook per subspace
+  * (grid-exact Lloyd, the [[KMeans]] discipline), store each vector as m
+  * small codes, and answer queries by asymmetric distance computation
+  * (ADC): per query, one m×ks table of exact subspace distances, then
+  * every stored vector scores as the sum of m table lookups. At scale
+  * the scan reads m bytes per vector instead of d floats — the classic
+  * 32× memory/bandwidth compression — and the whole scan stays a
+  * broadcast-join + sum aggregate, no N×N anything.
+  *
+  * Everything inherits the integer-grid exactness: subvectors are
+  * quantized longs, codebook training is the same assign/floorDiv-update
+  * loop as [[KMeans.lloyd]] (run JOINTLY over all m subspaces in one
+  * dataflow — `sub` rides every key), distances are exact integer sums,
+  * ties break toward the smaller cid/vec_id. The DuckDB oracle replays
+  * training, encoding, and ADC bit for bit.
+  *
+  * Training cost shape: the assignment stream is N·m·ks narrow rows
+  * (vec_id, sub, cid, d2) against a BROADCAST m·ks-row codebook —
+  * map-side-combinable min(struct(d2, cid)), one shuffle of N·m rows per
+  * iteration; the update shuffles m·ks·(d/m) = ks·d rows. ADC scoring
+  * joins the m·ks-row distance-table broadcast to the code table and
+  * sums m rows per (query, vector) — the scan IS the top-k candidate
+  * stream, which is the point of PQ (compressed exhaustive, no recall
+  * cliff from pruning; compose with IVF cells when N demands it).
+  */
+object Pq {
+
+  /** Quantized subvectors (vec_id, sub, sqv): the d-dim grid vector cut
+    * into m arrays of d/m longs.
+    */
+  def subvectors(emb: DataFrame, scale: Int, m: Int): DataFrame = {
+    val q = KMeans.quantize(col("embedding"), scale)
+    val dm = (size(q) / m).cast("int")
+    emb.select(col("vec_id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s => slice(q, s * dm + 1, dm))).as(Seq("sub", "sqv")))
+  }
+
+  /** Per-subspace seed codebooks: cid 0..ks-1 = the ks lowest vec_ids'
+    * subvectors (the [[KMeans.seedCentroids]] convention, per sub).
+    */
+  def seedCodebooks(sv: DataFrame, ks: Int): DataFrame = {
+    val seeds = sv.select(col("vec_id")).distinct()
+      .orderBy("vec_id").limit(ks)
+      .select(col("vec_id"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("vec_id")) - 1).as("cid"))
+    sv.join(broadcast(seeds), "vec_id")
+      .select(col("sub"), col("cid"), col("sqv").as("scv"))
+  }
+
+  /** Nearest codebook entry per (vector, subspace): (vec_id, sub, cid,
+    * d2), ties toward the smaller cid via min(struct(d2, cid)) — a
+    * map-side-combinable aggregate, no window.
+    */
+  def assign(sv: DataFrame, cb: DataFrame): DataFrame =
+    sv.join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("cid"),
+        KMeans.dist2(col("sqv"), col("scv")).as("d2"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("sub"),
+        col("m.cid").as("cid"), col("m.d2").as("d2"))
+
+  /** One joint Lloyd step over all m codebooks: assign, then exact
+    * per-coordinate floorDiv means per (sub, cid, spos). Empty entries
+    * drop (the [[KMeans.lloydStep]] convention).
+    */
+  def step(sv: DataFrame, cb: DataFrame): DataFrame =
+    assign(sv, cb)
+      .join(sv, Seq("vec_id", "sub"))
+      .select(col("sub"), col("cid"),
+        posexplode(col("sqv")).as(Seq("spos", "v")))
+      .groupBy("sub", "cid", "spos")
+      .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .withColumn("v",
+        ((col("s") - pmod(col("s"), col("n"))) / col("n")).cast("long"))
+      .groupBy("sub", "cid")
+      .agg(transform(sort_array(collect_list(struct(col("spos"), col("v")))),
+        s => s.getField("v")).as("scv"))
+
+  /** Train `iters` joint Lloyd iterations; returns (sub, cid, scv). */
+  def trainCodebooks(sv: DataFrame, ks: Int, iters: Int): DataFrame = {
+    var cb = seedCodebooks(sv, ks).localCheckpoint(true)
+    for (_ <- 1 to iters) cb = step(sv, cb).localCheckpoint(true)
+    cb
+  }
+
+  /** PQ codes (vec_id, sub, code) under trained codebooks. */
+  def encode(sv: DataFrame, cb: DataFrame): DataFrame =
+    assign(sv, cb).select(col("vec_id"), col("sub"), col("cid").as("code"))
+
+  /** ADC top-k: every query scores every encoded vector as
+    * Σ_sub d2(query subvector, codebook[code]) — exact integer sums over
+    * the broadcast per-query distance tables. Output (query_id, rank,
+    * vec_id, adist2), rank 1..k by (adist2, vec_id).
+    */
+  def adcTopK(emb: DataFrame, queries: DataFrame, scale: Int, m: Int,
+      ks: Int, iters: Int, k: Int): DataFrame = {
+    val sv = subvectors(emb, scale, m)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = trainCodebooks(sv, ks, iters)
+    val codes = encode(sv, cb)
+    val qsv = subvectors(queries.select(col("vec_id"), col("embedding")),
+      scale, m)
+      .select(col("vec_id").as("query_id"), col("sub"),
+        col("sqv").as("qsv"))
+    // per-query subspace distance table: |Q|·m·ks rows, broadcastable
+    val table = qsv.join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cid").as("code"),
+        KMeans.dist2(col("qsv"), col("scv")).as("pd2"))
+    val scored = codes.join(broadcast(table), Seq("sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd2")).as("adist2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adist2"), col("vec_id"))
+    val out = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adist2"))
+    sv.unpersist(false)
+    out
+  }
+
+  /** Recall@k of the ADC ranking against the EXACT grid-L2 top-k on the
+    * full vectors: (query_id, hits) with hits = |ADC top-k ∩ exact
+    * top-k| ∈ 0..k — the driver-visible pruning-quality gate the
+    * LSH/IVF paths already have.
+    */
+  def adcRecall(emb: DataFrame, queries: DataFrame, scale: Int, m: Int,
+      ks: Int, iters: Int, k: Int): DataFrame = {
+    val approx = adcTopK(emb, queries, scale, m, ks, iters, k)
+    val qv = emb.select(col("vec_id"),
+      KMeans.quantize(col("embedding"), scale).as("qv"))
+    val qq = queries.select(col("vec_id").as("query_id"),
+      KMeans.quantize(col("embedding"), scale).as("qqv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
+    val exact = qv.crossJoin(broadcast(qq))
+      .select(col("query_id"), col("vec_id"),
+        KMeans.dist2(col("qv"), col("qqv")).as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"))
+    qq.select("query_id")
+      .join(approx.join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("h")),
+        Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("h"), lit(0L)).as("hits"))
+  }
+}

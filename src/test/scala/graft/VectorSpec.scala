@@ -335,4 +335,51 @@ class VectorSpec extends AnyFunSuite {
       blockSize = 7L).as[(Int, Long, Long)].collect()
     assert(selB.sorted.toSeq == sel.sorted.toSeq)
   }
+
+  test("PQ ADC: exact when ks covers the corpus, recall floor, invariance") {
+    import graft.vectors.{KMeans, Pq}
+    // 20 distinct vectors, ks = 20: each seed cluster keeps exactly its
+    // own member through Lloyd, so every codebook entry IS its vector and
+    // ADC distances equal the EXACT grid distances — PQ top-k must match
+    // the brute-force grid top-k row for row, adist2 included
+    val small = emb.filter(col("vec_id") < 20)
+    val q = small.filter(col("vec_id") < 5)
+    val pq = Pq.adcTopK(small, q, scale = 1000, m = 8, ks = 20,
+      iters = 1, k = 5)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val qv = small.select(col("vec_id"),
+      KMeans.quantize(col("embedding"), 1000).as("qv"))
+    val exact = qv.crossJoin(
+      qv.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("qv").as("qqv")))
+      .select(col("query_id"), col("vec_id"),
+        KMeans.dist2(col("qv"), col("qqv")).as("d2"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("d2"), col("vec_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("d2"))
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(pq == exact)
+    // gate-parameter run on the full sf0.001 embeddings: rank 1 must be
+    // the query itself (its quantization error is <= anyone else's ADC
+    // distance only if codes separate it — assert the measured recall
+    // floor instead, plus determinism under repartitioning)
+    val r1 = Pq.adcRecall(emb, emb.filter(col("vec_id") < 10),
+      1000, 8, 16, 2, 5).as[(Long, Long)].collect().toMap
+    assert(r1.size == 10 && r1.values.forall(h => h >= 0 && h <= 5))
+    val mean = r1.values.sum.toDouble / r1.size
+    // uniform-random embeddings are the adversarial case for PQ exactly
+    // as for LSH (ann_lsh_recall's documented floor reasoning): no
+    // cluster structure for the codebooks to exploit. Measured 1.6 avg
+    // hits (32%) at these parameters on the sf0.001 corpus — 32x the
+    // 0.05 chance level (5 of 500); pin at 1.0 (20%), chance x20.
+    assert(mean >= 1.0, s"PQ recall@5 collapsed: $mean")
+    val t1 = Pq.adcTopK(emb, emb.filter(col("vec_id") < 10),
+      1000, 8, 16, 2, 5).as[(Long, Int, Long, Long)].collect().toSet
+    val t2 = Pq.adcTopK(emb.repartition(7, col("vec_id")),
+      emb.filter(col("vec_id") < 10), 1000, 8, 16, 2, 5)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(t1 == t2)
+  }
 }
