@@ -82,6 +82,25 @@ object DevRound5Probe {
         val sc = graft.algos.LinkPrediction.scores(raw, 64L, 2L)
         s"candidates=${sc.count()}"
       }
+    if (ops("pq")) {
+      // PQ at vector-corpus scale: 2M synthetic 64-dim vectors (Lehmer
+      // grid coordinates), train m=8 x ks=16 codebooks (2 joint Lloyd
+      // iterations), encode all, ADC-scan 10 queries for top-5
+      val vecs = spark.range(0, 2000000L, 1, 32)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0L), lit(63L)), i =>
+            (graft.algos.GraphOps.lehmerHash(col("id"), i, 3L) % 2000L)
+              .cast("double") / 1000.0).as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val nv = vecs.count()
+      timed("pq_adc_2m_vectors") {
+        val top = graft.vectors.Pq.adcTopK(vecs,
+          vecs.filter(col("vec_id") < 10), scale = 1000, m = 8, ks = 16,
+          iters = 2, k = 5).collect()
+        s"vectors=$nv topk_rows=${top.length}"
+      }
+      vecs.unpersist(false)
+    }
     if (ops("nb")) {
       // classifier at corpus scale: synthesize a 2M-doc two-domain
       // corpus (~80M tokens), train on the 80% split, score everything
