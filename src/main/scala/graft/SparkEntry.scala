@@ -301,6 +301,29 @@ object SparkEntry {
         Fixtures.persist(s, "lakehouse_files_5k",
           graft.derive.CodeLakehouse.table(s, 5000L)))
         .orderBy(col("repo"), col("path"))),
+    // StarCoder/The-Stack per-file quality filter over the code lakehouse
+    "code_file_stats" -> ((s, _) =>
+      graft.derive.CodeFilters.fileStats(
+        Fixtures.persist(s, "lakehouse_files_5k",
+          graft.derive.CodeLakehouse.table(s, 5000L)))
+        .orderBy(col("repo"), col("path"))),
+    // CCNet-style cross-corpus boilerplate-line dedup over source files
+    "code_line_dedup" -> ((s, _) =>
+      graft.derive.CodeFilters.lineDedup(
+        Fixtures.persist(s, "lakehouse_files_20k",
+          graft.derive.CodeLakehouse.table(s, 20000L)), minDf = 3L)
+        .orderBy(col("file"))),
+    // fork detection: repo pairs sharing identical file contents
+    "lakehouse_fork_detect" -> ((s, _) => {
+      val forked = Fixtures.persist(s, "lakehouse_forked_20k", {
+        val base = graft.derive.CodeLakehouse.table(s, 20000L)
+        base.unionByName(graft.derive.CodeFilters.plantForks(base,
+          Seq("repo-0010", "repo-0025", "repo-0040", "repo-0060",
+            "repo-0080"), keepQ4 = 8000, seed = 7L))
+      })
+      graft.derive.CodeFilters.forkPairs(forked)
+        .orderBy(col("repo_a"), col("repo_b"))
+    }),
 
     // ---- collaborative filtering (itemcf.cpp flagship) ----------------------
     "cf_item_similarity" -> ((s, dir) => {
@@ -1941,6 +1964,63 @@ object SparkEntry {
       s"""SELECT repo, path, "commit", sha256(content) AS content_sha256
          |FROM ${Fixtures.sqlOf("lakehouse_files_5k")}
          |ORDER BY repo, path""".stripMargin,
+
+    "code_file_stats" ->
+      s"""WITH f AS (SELECT *, string_split(content, chr(10)) AS ls
+         |           FROM ${Fixtures.sqlOf("lakehouse_files_5k")}),
+         |s AS (SELECT repo, path, lang,
+         |  CAST(len(ls) AS BIGINT) AS n_lines,
+         |  CAST(list_max(list_transform(ls, x -> length(x))) AS BIGINT)
+         |    AS max_line_len,
+         |  (length(content) - len(ls) + 1) * 10000 // len(ls) AS avg_line_q4,
+         |  length(regexp_replace(content, '[^A-Za-z0-9]', '', 'g')) * 10000
+         |    // GREATEST(length(content), 1) AS alnum_q4
+         |  FROM f)
+         |SELECT repo, path, lang, n_lines, max_line_len,
+         |  CAST(avg_line_q4 AS BIGINT) AS avg_line_q4,
+         |  CAST(alnum_q4 AS BIGINT) AS alnum_q4,
+         |  CAST(CASE WHEN max_line_len <= 1000 AND avg_line_q4 <= 1000000
+         |            AND alnum_q4 >= 2500 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM s ORDER BY repo, path""".stripMargin,
+
+    "code_line_dedup" ->
+      s"""WITH f AS MATERIALIZED (
+         |  SELECT repo || '/' || path AS file,
+         |         string_split(content, chr(10)) AS ls
+         |  FROM ${Fixtures.sqlOf("lakehouse_files_20k")}),
+         |e AS (SELECT file, unnest(range(1, len(ls)+1)) AS pos, ls FROM f),
+         |l AS MATERIALIZED (
+         |  SELECT file, pos, ls[CAST(pos AS INT)] AS line FROM e),
+         |dfc AS (SELECT line, COUNT(*) AS df
+         |        FROM (SELECT DISTINCT file, line FROM l) GROUP BY 1),
+         |k AS (SELECT l.file, l.pos, l.line
+         |      FROM l JOIN dfc USING (line) WHERE df < 3),
+         |t AS (SELECT file, CAST(COUNT(*) AS BIGINT) AS n_lines
+         |      FROM l GROUP BY 1)
+         |SELECT k.file, t.n_lines, CAST(COUNT(*) AS BIGINT) AS kept_lines,
+         |  md5(string_agg(k.line, chr(10) ORDER BY k.pos)) AS new_md5
+         |FROM k JOIN t ON t.file = k.file
+         |GROUP BY k.file, t.n_lines ORDER BY k.file""".stripMargin,
+
+    "lakehouse_fork_detect" ->
+      s"""WITH fh AS MATERIALIZED (
+         |  SELECT DISTINCT repo, sha256(content) AS h
+         |  FROM ${Fixtures.sqlOf("lakehouse_forked_20k")}),
+         |sz AS (SELECT repo, COUNT(*) AS n FROM fh GROUP BY 1),
+         |sh AS (SELECT h FROM fh GROUP BY h
+         |       HAVING COUNT(*) BETWEEN 2 AND 50),
+         |fr AS (SELECT fh.repo, fh.h FROM fh JOIN sh USING (h)),
+         |p AS (SELECT a.repo AS repo_a, b.repo AS repo_b,
+         |             CAST(COUNT(*) AS BIGINT) AS shared
+         |      FROM fr a JOIN fr b USING (h) WHERE a.repo < b.repo
+         |      GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+         |SELECT p.repo_a, p.repo_b, p.shared,
+         |  CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+         |  CAST(p.shared * 1000000 // (sa.n + sb.n - p.shared) AS BIGINT)
+         |    AS jaccard_q6
+         |FROM p JOIN sz sa ON sa.repo = p.repo_a
+         |       JOIN sz sb ON sb.repo = p.repo_b
+         |ORDER BY repo_a, repo_b""".stripMargin,
 
     "doc_exact_dedup" ->
       """SELECT md5(text) AS text_md5, MIN(doc_id) AS keep_id,
