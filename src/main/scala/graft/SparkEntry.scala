@@ -231,6 +231,18 @@ object SparkEntry {
         walksPerSource = 5, steps = 4, p = 4, q = 2)
         .orderBy(col("walk_id"), col("step"))
     }),
+    "graph_ppmi" -> ((s, dir) => {
+      // NetMF embedding front half: co-occurrence + PPMI marginals over
+      // the same node2vec corpus as `node2vec_walks`, window 2 — exact
+      // integers end to end (the SVD back half is property-tested)
+      val e = LinkGraph.edges(s, dir)
+      val corpus = graft.algos.RandomWalks.node2vecWalks(s, e,
+        e.select(col("src").as("id")).distinct().orderBy(col("id")).limit(30),
+        walksPerSource = 5, steps = 4, p = 4, q = 2)
+      graft.algos.GraphEmbed.ppmiParts(
+        graft.algos.GraphEmbed.cooccurrence(corpus, window = 2))
+        .orderBy(col("u"), col("v"))
+    }),
     "neighborhood_function" -> ((s, dir) => {
       // exact landmark-BFS ball sizes; the HyperBall scale path over the
       // same graph is equivalence/accuracy-tested in NeighborhoodSpec
@@ -1737,6 +1749,9 @@ object SparkEntry {
       nSources = 50, walksPerSource = 10, steps = 4),
     "node2vec_walks" -> graft.algos.RandomWalks.node2vecOracleSql(E,
       nSources = 30, walksPerSource = 5, steps = 4, p = 4, q = 2),
+    "graph_ppmi" -> graft.algos.GraphEmbed.ppmiOracleSql(E,
+      nSources = 30, walksPerSource = 5, steps = 4, p = 4, q = 2,
+      window = 2),
     "sssp" -> graft.algos.GraphOps.ssspOracleSql(E,
       LinkGraph.CUST + 1L, rounds = 8, roundTo = 6),
     "bond_percolation" ->

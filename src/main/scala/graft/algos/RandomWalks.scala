@@ -162,7 +162,20 @@ object RandomWalks {
     * pick, and Lehmer draws.
     */
   def node2vecOracleSql(edgesSql: String, nSources: Int, walksPerSource: Int,
-      steps: Int, p: Int, q: Int, seed: Long = 42L): String = {
+      steps: Int, p: Int, q: Int, seed: Long = 42L): String =
+    s"""WITH ${node2vecCorpusCtes(edgesSql, nSources, walksPerSource, steps,
+      p, q, seed)}
+       |SELECT walk_id, step, vertex FROM corpus
+       |ORDER BY walk_id, step""".stripMargin
+
+  /** Every CTE up to a `corpus(walk_id, step, vertex)` table — shared by
+    * [[node2vecOracleSql]] and downstream corpus consumers (the PPMI
+    * co-occurrence oracle in [[GraphEmbed]]), so the replayed walk
+    * recurrence cannot diverge between them.
+    */
+  private[graft] def node2vecCorpusCtes(edgesSql: String, nSources: Int,
+      walksPerSource: Int, steps: Int, p: Int, q: Int,
+      seed: Long = 42L): String = {
     val hops = (2 to steps).map { k =>
       s"""c$k AS MATERIALIZED (
          |  SELECT w.walk_id, w.prev, w.cur, e.dst AS next,
@@ -189,7 +202,7 @@ object RandomWalks {
     val unions = (1 to steps)
       .map(k => s"SELECT walk_id, $k AS step, cur AS vertex FROM w$k")
       .mkString("\n    UNION ALL ")
-    s"""WITH edges AS MATERIALIZED (
+    s"""edges AS MATERIALIZED (
        |$edgesSql
        |),
        |idx AS MATERIALIZED (
@@ -208,10 +221,9 @@ object RandomWalks {
        |  JOIN idx i ON i.src = w.prev AND i.pos =
        |    ((w.walk_id % $P) * 1103515245 + ${1 * 12345L + seed})
        |      % $P * 48271 % $P % o.od),
-       |$hops
-       |SELECT walk_id, step, vertex FROM (
-       |    $unions)
-       |ORDER BY walk_id, step""".stripMargin
+       |$hops,
+       |corpus AS MATERIALIZED (
+       |    $unions)""".stripMargin
   }
 
   /** Unrolled DuckDB oracle for the SparkEntry query shape: `nSources`

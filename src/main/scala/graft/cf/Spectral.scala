@@ -47,6 +47,27 @@ object Spectral {
       .toDF("rank", "sigma")
   }
 
+  /** Row embeddings U·√Σ of the sparse matrix `entries` (i, j, value) —
+    * the NetMF/LSA factorization step (Levy & Goldberg NIPS'14: SVD of a
+    * PPMI matrix approximates skip-gram with negative sampling; Qiu et al.
+    * WSDM'18 NetMF applies it to walk co-occurrence matrices). Returns
+    * (id, embedding float array) with one row per input row index; row
+    * indices are preserved (vertex ids ride through, no dense row relabel
+    * needed — only columns must be dense, the V matrix lives on the
+    * driver at nCols×k).
+    */
+  def svdEmbed(entries: DataFrame, k: Int, nCols: Int): DataFrame = {
+    val spark = entries.sparkSession
+    val svd = new IndexedRowMatrix(sparseRows(entries, nCols))
+      .computeSVD(k, computeU = true)
+    val sq = svd.s.toArray.map(math.sqrt)
+    import spark.implicits._
+    svd.U.rows
+      .map(r => (r.index,
+        r.vector.toArray.zip(sq).map { case (u, s) => (u * s).toFloat }))
+      .toDF("id", "embedding")
+  }
+
   /** Top singular values AND the dominant right-singular-vector support per
     * component — used by specs to check subspace recovery on planted
     * fixtures (signs are not identifiable, supports are).
