@@ -101,6 +101,25 @@ object DevRound5Probe {
       }
       vecs.unpersist(false)
     }
+    if (ops("ivfpq")) {
+      // the composed IVFADC path at the same 2M-vector scale: 64 trained
+      // coarse cells (2 Lloyd iterations), residual PQ m=8 x ks=16,
+      // nprobe=8 (~12.5% of a uniform corpus probed)
+      val vecs = spark.range(0, 2000000L, 1, 32)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0L), lit(63L)), i =>
+            (graft.algos.GraphOps.lehmerHash(col("id"), i, 3L) % 2000L)
+              .cast("double") / 1000.0).as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val nv = vecs.count()
+      timed("ivfpq_adc_2m_vectors") {
+        val top = graft.vectors.Pq.ivfAdcTopK(vecs,
+          vecs.filter(col("vec_id") < 10), k = 5, cells = 64,
+          cellIters = 2, m = 8, ks = 16, pqIters = 2, nprobe = 8).collect()
+        s"vectors=$nv topk_rows=${top.length}"
+      }
+      vecs.unpersist(false)
+    }
     if (ops("nb")) {
       // classifier at corpus scale: synthesize a 2M-doc two-domain
       // corpus (~80M tokens), train on the 80% split, score everything

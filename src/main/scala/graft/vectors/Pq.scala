@@ -1,6 +1,6 @@
 package graft.vectors
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Product quantization for ANN (Jégou, Douze & Schmid, TPAMI 2011) — the
@@ -33,16 +33,22 @@ import org.apache.spark.sql.functions._
   */
 object Pq {
 
+  /** A pre-quantized long-array column cut into m slices: a (pos, slice)
+    * generator column — select it with `.as(Seq("sub", "sqv"))`. Shared by
+    * the raw-vector and residual-vector subspace streams.
+    */
+  private def slices(vec: Column, m: Int): Column = {
+    val dm = (size(vec) / m).cast("int")
+    posexplode(transform(sequence(lit(0), lit(m - 1)),
+      s => slice(vec, s * dm + 1, dm)))
+  }
+
   /** Quantized subvectors (vec_id, sub, sqv): the d-dim grid vector cut
     * into m arrays of d/m longs.
     */
-  def subvectors(emb: DataFrame, scale: Int, m: Int): DataFrame = {
-    val q = KMeans.quantize(col("embedding"), scale)
-    val dm = (size(q) / m).cast("int")
+  def subvectors(emb: DataFrame, scale: Int, m: Int): DataFrame =
     emb.select(col("vec_id"),
-      posexplode(transform(sequence(lit(0), lit(m - 1)),
-        s => slice(q, s * dm + 1, dm))).as(Seq("sub", "sqv")))
-  }
+      slices(KMeans.quantize(col("embedding"), scale), m).as(Seq("sub", "sqv")))
 
   /** Per-subspace seed codebooks: cid 0..ks-1 = the ks lowest vec_ids'
     * subvectors (the [[KMeans.seedCentroids]] convention, per sub).
@@ -137,6 +143,104 @@ object Pq {
   def adcRecall(emb: DataFrame, queries: DataFrame, scale: Int, m: Int,
       ks: Int, iters: Int, k: Int): DataFrame = {
     val approx = adcTopK(emb, queries, scale, m, ks, iters, k)
+    val qv = emb.select(col("vec_id"),
+      KMeans.quantize(col("embedding"), scale).as("qv"))
+    val qq = queries.select(col("vec_id").as("query_id"),
+      KMeans.quantize(col("embedding"), scale).as("qqv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
+    val exact = qv.crossJoin(broadcast(qq))
+      .select(col("query_id"), col("vec_id"),
+        KMeans.dist2(col("qv"), col("qqv")).as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"))
+    qq.select("query_id")
+      .join(approx.join(exact, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("h")),
+        Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("h"), lit(0L)).as("hits"))
+  }
+
+  /** IVF-ADC (Jégou et al. TPAMI'11 §V, the FAISS `IVFADC` recipe): the
+    * composition of the ANN family's pruning leg ([[KMeans.ivfSearch]]'s
+    * trained coarse cells) with its compression leg (PQ codes) — the
+    * standard billion-scale shape, where neither alone survives: flat IVF
+    * still reads d floats per probed vector, exhaustive PQ still reads
+    * every vector. Coarse cells come from grid-exact Lloyd; PQ codebooks
+    * are trained on the RESIDUALS qv − centroid(cell) (exact integer
+    * subtraction on the grid, so the entire chain stays bit-reproducible
+    * and the DuckDB oracle replays it); a query probes its `nprobe`
+    * nearest cells and scores ONLY their members, each against the
+    * per-(query, probed-cell) residual distance table — the residual
+    * depends on which cell is probed, which is why the table carries
+    * `cell` (the classic IVFADC detail).
+    *
+    * Scale shape: centroids (C rows), codebooks (m·ks rows), and the
+    * per-query tables (|Q|·nprobe·m·ks rows) are all broadcasts; the
+    * corpus-sized streams are the one-off training/encode passes (N·m
+    * narrow rows) and the probed scan of N·nprobe/C members × m code
+    * lookups — m bytes read per candidate instead of d floats.
+    * Output (query_id, rank, vec_id, adist2), rank 1..k by
+    * (adist2, vec_id); queries score themselves like [[adcTopK]].
+    */
+  def ivfAdcTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      cells: Int, cellIters: Int, m: Int, ks: Int, pqIters: Int,
+      nprobe: Int, scale: Int = 1000): DataFrame = {
+    val q = corpus.select(col("vec_id"),
+        KMeans.quantize(col("embedding"), scale).as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cents = KMeans.centroidsOf(q, cells, cellIters) // (cid, cv) broadcast
+    // residual stream: every vector shifted by its own cell's centroid
+    val res = KMeans.assignTo(q, cents)
+      .select(col("vec_id"), col("qv"), col("cid").as("cell"))
+      .join(broadcast(cents.select(col("cid").as("cell"), col("cv"))), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("qv"), col("cv"), (x, y) => x - y).as("rv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sv = res.select(col("vec_id"), slices(col("rv"), m).as(Seq("sub", "sqv")))
+    val cb = trainCodebooks(sv, ks, pqIters)
+    val codes = encode(sv, cb)
+      .join(res.select(col("vec_id"), col("cell")), "vec_id")
+    // query side: probe the nprobe nearest cells, residual PER PROBED CELL
+    val qs = queries.select(col("vec_id").as("query_id"),
+      KMeans.quantize(col("embedding"), scale).as("quv"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d2"), col("cell"))
+    val probes = qs.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("quv"), col("cid").as("cell"), col("cv"),
+        KMeans.dist2(col("quv"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(wp)).filter(col("rn") <= nprobe)
+    val qsv = probes.select(col("query_id"), col("cell"),
+      slices(zip_with(col("quv"), col("cv"), (x, y) => x - y), m)
+        .as(Seq("sub", "qsv")))
+    val table = qsv.join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("cell"), col("sub"),
+        col("cid").as("code"), KMeans.dist2(col("qsv"), col("scv")).as("pd2"))
+    val scored = codes.join(broadcast(table), Seq("cell", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pd2")).as("adist2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adist2"), col("vec_id"))
+    val out = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adist2"))
+      .localCheckpoint(true) // eager before the caches drop ([[KMeans.lloyd]])
+    res.unpersist(false)
+    q.unpersist(false)
+    out
+  }
+
+  /** Recall@k of [[ivfAdcTopK]] against the exact grid-L2 top-k — the
+    * quality gate every approximate path here carries (LSH, trained IVF,
+    * exhaustive PQ); this one compounds cell-pruning loss with code-
+    * quantization loss, so it is the honest number for the composed path.
+    */
+  def ivfAdcRecall(emb: DataFrame, queries: DataFrame, k: Int,
+      cells: Int, cellIters: Int, m: Int, ks: Int, pqIters: Int,
+      nprobe: Int, scale: Int = 1000): DataFrame = {
+    val approx = ivfAdcTopK(emb, queries, k, cells, cellIters, m, ks,
+      pqIters, nprobe, scale)
     val qv = emb.select(col("vec_id"),
       KMeans.quantize(col("embedding"), scale).as("qv"))
     val qq = queries.select(col("vec_id").as("query_id"),

@@ -136,9 +136,15 @@ class CfSpec extends AnyFunSuite {
     }
     assert(margins.sum / margins.size > 0.2,
       s"mean in/out margin too small: ${margins.sum / margins.size}")
-    // deterministic with the same seed
+    // stable with the same seed — up to float accumulation order: the
+    // normal-equation gathers sum doubles across shuffle partitions, so two
+    // runs of the identical solve drift by ulps (measured 9e-16 under
+    // co-load); exact equality here flaked for the same reason the margin
+    // assertion above moved to the population mean
     val again = Factorize.wals(ratings, rank = 4, iters = 10, alpha = 20.0)
-    assert(Factorize.rmse(m, ratings) == Factorize.rmse(again, ratings))
+    val (r1, r2) = (Factorize.rmse(m, ratings), Factorize.rmse(again, ratings))
+    assert(math.abs(r1 - r2) <= 1e-9 * math.max(r1, r2),
+      s"re-run diverged beyond ulp drift: $r1 vs $r2")
   }
 
   // --- rating.cpp serving: Factorize.recommendTopK ---

@@ -19,6 +19,6 @@ class EntrySpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert(o == q,
       s"orphan oracles: ${o -- q}; oracle-less queries: ${q -- o}")
-    assert(q.size == 102, s"query count drifted: ${q.size}")
+    assert(q.size == 104, s"query count drifted: ${q.size}")
   }
 }

@@ -382,4 +382,61 @@ class VectorSpec extends AnyFunSuite {
       .as[(Long, Int, Long, Long)].collect().toSet
     assert(t1 == t2)
   }
+
+  test("IVFADC: exact under full probe + covering codes, recall, invariance") {
+    import graft.vectors.{KMeans, Pq}
+    val small = emb.filter(col("vec_id") < 20)
+    val q = small.filter(col("vec_id") < 5)
+    val exact = {
+      val qv = small.select(col("vec_id"),
+        KMeans.quantize(col("embedding"), 1000).as("qv"))
+      qv.crossJoin(qv.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("qv").as("qqv")))
+        .select(col("query_id"), col("vec_id"),
+          KMeans.dist2(col("qv"), col("qqv")).as("d2"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(col("d2"), col("vec_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("vec_id"), col("d2"))
+        .as[(Long, Int, Long, Long)].collect().toSet
+    }
+    // cells=1: every residual is the same uniform shift, which squared
+    // distances are invariant under; ks covers the corpus so every
+    // residual subvector is its own codeword — IVFADC must equal the
+    // brute-force grid top-k row for row, adist2 = exact d2 included
+    val one = Pq.ivfAdcTopK(small, q, k = 5, cells = 1, cellIters = 1,
+      m = 8, ks = 20, pqIters = 1, nprobe = 1)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(one == exact)
+    // multi-cell, nprobe = cells: per-cell residual shifts cancel between
+    // query table and member codes (both subtract the probed cell's
+    // centroid), so with covering codes the COMPOSED path is still exact —
+    // this pins the per-(query, cell) residual-table bookkeeping
+    val full = Pq.ivfAdcTopK(small, q, k = 5, cells = 4, cellIters = 2,
+      m = 8, ks = 20, pqIters = 1, nprobe = 4)
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(full == exact)
+    // gate parameters on the full corpus: recall present and bounded,
+    // deterministic under repartitioning
+    val r = Pq.ivfAdcRecall(emb, emb.filter(col("vec_id") < 10),
+      k = 5, cells = 10, cellIters = 3, m = 8, ks = 16, pqIters = 2,
+      nprobe = 2).as[(Long, Long)].collect().toMap
+    assert(r.size == 10 && r.values.forall(h => h >= 0 && h <= 5))
+    // uniform embeddings + ~20% probed (nprobe 2 of 10 on a structureless
+    // corpus) + 8-byte codes: the compounded adversarial case — yet
+    // measured 1.9 avg hits (38%) here, BEATING exhaustive PQ's 1.6:
+    // residuals have smaller spread than raw vectors, so the same ks=16
+    // codebooks quantize them finer. Pin at 1.0 (20%, chance x20)
+    val mean = r.values.sum.toDouble / r.size
+    assert(mean >= 1.0, s"IVFADC recall@5 collapsed: $mean")
+    val t1 = Pq.ivfAdcTopK(emb, emb.filter(col("vec_id") < 10),
+      k = 5, cells = 10, cellIters = 3, m = 8, ks = 16, pqIters = 2,
+      nprobe = 2).as[(Long, Int, Long, Long)].collect().toSet
+    val t2 = Pq.ivfAdcTopK(emb.repartition(7, col("vec_id")),
+      emb.filter(col("vec_id") < 10),
+      k = 5, cells = 10, cellIters = 3, m = 8, ks = 16, pqIters = 2,
+      nprobe = 2).as[(Long, Int, Long, Long)].collect().toSet
+    assert(t1 == t2)
+  }
 }
