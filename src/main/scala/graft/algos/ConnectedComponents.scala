@@ -33,16 +33,23 @@ object ConnectedComponents {
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
+    // ONE E-row exchange (guide §2.4): repartition by src FIRST, then dedup —
+    // hashpartitioning(src) satisfies the distinct aggregate's
+    // ClusteredDistribution(src, dst) (hash exprs ⊆ clustering), so the
+    // aggregate adds no exchange. The previous distinct-then-repartition
+    // order exchanged the 2E-row symmetric union twice. localCheckpoint
+    // replaces persist+count: same materialization, but the superstep plans
+    // then carry one RDD leaf instead of the full derive lineage.
     val und = LinkGraph.undirected(edges.select("src", "dst", "weight"))
-      .select("src", "dst").distinct()
+      .select("src", "dst")
       .repartition(parts, col("src"))
+      .distinct()
       .sortWithinPartitions("src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    und.count()
+      .localCheckpoint(true)
 
     // state: (id, label, delta) — delta=1.0 while the vertex just changed
     // (its neighbors must be re-examined), 0.0 once stable.
-    val init = LinkGraph.vertices(edges).repartition(parts, col("id"))
+    val init = LinkGraph.verticesPartitioned(spark, edges, parts)
       .select(col("id"), col("id").as("label"), lit(1.0).as("delta"))
 
     def step(state: DataFrame, iter: Int): DataFrame = {
@@ -65,7 +72,8 @@ object ConnectedComponents {
     }
 
     val res = Superstep.run(init, step, tol = 0.0, maxIters = maxIters, store)
-    und.unpersist(false)
+    // und is a localCheckpoint; blocks are freed by the ContextCleaner once
+    // the handle is unreachable (the returned state does not reference it).
     res
   }
 

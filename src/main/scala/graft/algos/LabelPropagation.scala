@@ -48,25 +48,42 @@ object LabelPropagation {
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
+    // Single-exchange prep + lineage truncation, exactly as
+    // [[ConnectedComponents.run]] (see the comment there; guide §2.4).
     val und = LinkGraph.undirected(edges.select("src", "dst", "weight"))
-      .select("src", "dst").distinct()
+      .select("src", "dst")
       .repartition(parts, col("src"))
+      .distinct()
       .sortWithinPartitions("src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    und.count()
+      .localCheckpoint(true)
 
-    val init = LinkGraph.vertices(edges).repartition(parts, col("id"))
+    val init = LinkGraph.verticesPartitioned(spark, edges, parts)
       .select(col("id"), col("id").as("label"), lit(1.0).as("delta"))
 
     def step(state: DataFrame, iter: Int): DataFrame = {
       val msgs = state.select(col("id"), col("label"))
         .join(und, state("id") === und("src"))
         .select(col("dst"), col("label"))
-      // most frequent label, tie -> larger label
+      // most frequent label, tie -> larger label. Computed as the codegen
+      // hash-aggregate + rank-window chain instead of
+      // max_by(label, struct(cnt, label)): the struct-ordered max_by buffer
+      // is not hash-aggregable, so Catalyst planned a SortAggregate pair
+      // whose interpreted per-row struct comparisons dominated the whole
+      // query (measured 68 s + 58 s CPU of the first superstep's ~145 s
+      // at sf0.1 — guide step 4: no non-codegen expressions in hot paths).
+      // row_number streams each sorted partition with no buffering, and the
+      // (cnt DESC, label DESC) comparisons happen inside the codegen'd
+      // UnsafeRow sort, not per-row interpreted expression evaluation.
+      // Exchange count is unchanged (two), and this is literally the
+      // oracle's own ROW_NUMBER formulation.
       val counts = msgs.groupBy(col("dst"), col("label"))
         .agg(count(lit(1)).as("cnt"))
-      val best = counts.groupBy(col("dst")).agg(
-        max_by(col("label"), struct(col("cnt"), col("label"))).as("nlabel"))
+      val best = counts
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("dst"))
+            .orderBy(col("cnt").desc, col("label").desc)))
+        .where(col("rn") === 1)
+        .select(col("dst"), col("label").as("nlabel"))
       state.join(best, state("id") === best("dst"), "left")
         .select(
           state("id"),

@@ -118,4 +118,18 @@ object LinkGraph {
     edges.select(col("src").as("id"))
       .unionAll(edges.select(col("dst").as("id")))
       .distinct()
+
+  /** [[vertices]] hash-partitioned by id into `parts` partitions with no
+    * extra exchange when the ambient shuffle partitioning already matches:
+    * distinct's own aggregate exchange IS hashpartitioning(id,
+    * spark.sql.shuffle.partitions), so the explicit repartition every
+    * iterative init used to add on top of it was a second full V-row
+    * exchange of identical layout (guide §2.4).
+    */
+  def verticesPartitioned(spark: SparkSession, edges: DataFrame,
+      parts: Int): DataFrame = {
+    val v = vertices(edges)
+    if (parts == spark.conf.get("spark.sql.shuffle.partitions", "-1").toInt) v
+    else v.repartition(parts, col("id"))
+  }
 }
