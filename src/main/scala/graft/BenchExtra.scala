@@ -179,6 +179,29 @@ object BenchExtra {
         graft.plans.CsrPageRank.run(spark, edges, tol = 1e-6, maxIters = 200))
       println(f"[phase] pagerank_csr_1e6 sec=$csrSec%.3f")
     }
+    if (mode == "sweep") {
+      // Time EVERY SparkEntry query (noop sink; guide §1.4) — the empirical
+      // ranking that directs the operator-by-operator sweep. Runs in the
+      // Verify-like environment (AQE on) unless DEV_AQE=false.
+      spark.conf.set("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("DEV_AQE", "true"))
+      val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      SparkEntry.queries.foreach { case (name, fn) =>
+        sc.setJobDescription(name)
+        try {
+          val (_, sec) = timed(noop(fn(spark, sfDir)))
+          results += ((name, sec))
+          println(f"[sweep] $name%-28s $sec%8.2fs")
+        } catch {
+          case e: Throwable =>
+            println(s"[sweep] $name FAILED: ${e.getMessage.take(120)}")
+        }
+      }
+      println("[sweep] slowest:")
+      results.sortBy(-_._2).take(20).foreach { case (n, s) =>
+        println(f"[sweep-top] $n%-28s $s%8.2fs")
+      }
+    }
     if (mode == "lpa") {
       sc.addSparkListener(new StageLog)
       val lpaStore = new LocalStore

@@ -36,7 +36,7 @@ object DevStatsProbe {
       }
     }
     loop("plain", _.localCheckpoint(true))
-    loop("rebased", graft.core.Dataflow.checkpointRebased)
+    loop("rebased", graft.core.Dataflow.checkpointRebased(_))
     spark.stop()
   }
 }

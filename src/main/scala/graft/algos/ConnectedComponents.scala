@@ -45,7 +45,7 @@ object ConnectedComponents {
       .repartition(parts, col("src"))
       .distinct()
       .sortWithinPartitions("src")
-      .localCheckpoint(true)
+      .transform(graft.core.Dataflow.checkpointRebased(_))
 
     // state: (id, label, delta) — delta=1.0 while the vertex just changed
     // (its neighbors must be re-examined), 0.0 once stable.

@@ -55,7 +55,7 @@ object LabelPropagation {
       .repartition(parts, col("src"))
       .distinct()
       .sortWithinPartitions("src")
-      .localCheckpoint(true)
+      .transform(graft.core.Dataflow.checkpointRebased(_))
 
     val init = LinkGraph.verticesPartitioned(spark, edges, parts)
       .select(col("id"), col("id").as("label"), lit(1.0).as("delta"))

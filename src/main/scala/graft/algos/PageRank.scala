@@ -57,7 +57,7 @@ object PageRank {
     e.join(od, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("od")).as("share"))
       .sortWithinPartitions("src")
-      .localCheckpoint(true)
+      .transform(graft.core.Dataflow.checkpointRebased(_))
   }
 
   /** Run to convergence. Returns state (id, rank, delta) + metrics. */

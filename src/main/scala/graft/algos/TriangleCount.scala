@@ -27,12 +27,19 @@ import graft.core.LinkGraph
   */
 object TriangleCount {
 
-  /** Canonical undirected edge set {u < v}, deduplicated. */
+  /** Canonical undirected edge set {u < v}, deduplicated. Partitioned by
+    * hash(u) BEFORE the dedup aggregate: hashpartitioning(u) satisfies the
+    * distinct's ClusteredDistribution(u, v) (hash exprs ⊆ clustering), so
+    * one E-row exchange serves both the dedup and the downstream
+    * orientation join on u — where distinct-then-join exchanged the E-row
+    * side twice (guide §2.4).
+    */
   def canonicalEdges(edges: DataFrame): DataFrame =
     edges.select(
       least(col("src"), col("dst")).as("u"),
       greatest(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
+      .repartition(col("u"))
       .distinct()
 
   /** Edges oriented by ascending (degree, id) rank: (a → b) with a ranked
@@ -75,7 +82,10 @@ object TriangleCount {
     // columnar form is several-fold smaller, keeping the one-shot plan's
     // working set memory-resident far longer on a single box.
     val und = canonicalEdges(edges).persist(StorageLevel.MEMORY_AND_DISK_SER)
-    val oriented = orientByDegree(und)
+    // Cached pre-partitioned by the apex key: the adjacency aggregate AND
+    // the first closing join both cluster on `a`, so one repartition here
+    // replaces their two separate E-row exchanges (guide §2.4).
+    val oriented = orientByDegree(und).repartition(col("a"))
       .persist(StorageLevel.MEMORY_AND_DISK_SER)
     val adj = oriented.groupBy(col("a").as("id"))
       .agg(sort_array(collect_list(col("b"))).as("nbrs"))

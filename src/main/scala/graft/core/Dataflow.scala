@@ -28,7 +28,14 @@ object Dataflow {
     * conservative default leaf size also keeps the optimizer from ever
     * broadcasting the state side — right for cluster-scale state.
     */
-  def checkpointRebased(df: DataFrame): DataFrame =
+  /** @param eager false defers materialization to the first action on the
+    *   result (RDD.localCheckpoint marks the RDD; the checkpoint happens at
+    *   the end of the first job that computes it) — used by the superstep
+    *   driver so the convergence aggregate's job materializes, caches and
+    *   lineage-truncates the state in one pass. The stats rebase is
+    *   independent of eagerness: it only rewraps the same marked RDD.
+    */
+  def checkpointRebased(df: DataFrame, eager: Boolean = true): DataFrame =
     org.apache.spark.sql.graft.GraftSqlBridge.dropOriginStats(
-      df.localCheckpoint(true))
+      df.localCheckpoint(eager))
 }

@@ -55,8 +55,20 @@ final class LocalStore extends StateStore {
   // cache for the aggregate). RDD.localCheckpoint marks the RDD and
   // checkpoints at the end of the first job that computes it, so lineage
   // truncation still happens every superstep.
+  //
+  // Stats-REBASED (graft.core.Dataflow.checkpointRebased): a plain
+  // localCheckpoint preserves the replaced plan's ESTIMATED sizeInBytes,
+  // and a superstep that references its state twice (scatter + apply)
+  // doubles that estimate's BigInteger bit length every superstep; worse,
+  // a caller that restarts a Superstep loop inside its own loop (MSF runs
+  // CC once per Boruvka round) compounds the products across restarts
+  // until the driver pins a core in BigInteger.multiplyToomCook3
+  // (observed exactly that in round 6 when the prep tables moved from
+  // persist() — whose InMemoryRelation stats reset the estimates — to
+  // localCheckpoint, which preserves them). Rebasing every superstep
+  // keeps all loop-leaf stats at the bounded engine default.
   override def persist(state: DataFrame, iter: Int): DataFrame =
-    state.localCheckpoint(false)
+    graft.core.Dataflow.checkpointRebased(state, eager = false)
   override def log(m: SuperstepMetrics): Unit = history ::= m
   override def resumePoint(): Option[(Int, DataFrame)] = None
   override def release(state: DataFrame): Unit =

@@ -56,7 +56,12 @@ object CsrPageRank {
   def buildBlocks(edges: DataFrame, parts: Int)
       : RDD[Block] = {
     val part = new HashPartitioner(parts)
-    edges.select("src", "dst").rdd
+    // queryExecution.toRdd instead of .rdd: the public .rdd converts every
+    // InternalRow to an external Row (schema lookup + boxing per field per
+    // edge); the primitives are extracted here immediately, so reading them
+    // straight off the UnsafeRow is safe (nothing retains the reused row)
+    // and skips one full per-edge allocation pass (guide step 4).
+    edges.select("src", "dst").queryExecution.toRdd
       .map(r => (r.getLong(0), r.getLong(1)))
       .partitionBy(part)
       .mapPartitions({ it =>
@@ -106,7 +111,7 @@ object CsrPageRank {
     val blocks = buildBlocks(edges, parts)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val vertices = edges.select("src").union(edges.select("dst"))
-      .distinct().rdd.map(r => (r.getLong(0), ()))
+      .distinct().queryExecution.toRdd.map(r => (r.getLong(0), ()))
       .partitionBy(part)
       .persist(StorageLevel.MEMORY_AND_DISK)
     vertices.count(); blocks.count()

@@ -143,7 +143,10 @@ class CfSpec extends AnyFunSuite {
     // assertion above moved to the population mean
     val again = Factorize.wals(ratings, rank = 4, iters = 10, alpha = 20.0)
     val (r1, r2) = (Factorize.rmse(m, ratings), Factorize.rmse(again, ratings))
-    assert(math.abs(r1 - r2) <= 1e-9 * math.max(r1, r2),
+    // 1e-12 relative (ADVICE r5 #1): still ~3 orders above the measured
+    // 9e-16 accumulation-order drift, but tight enough that genuine
+    // nondeterminism cannot hide under the bound
+    assert(math.abs(r1 - r2) <= 1e-12 * math.max(r1, r2),
       s"re-run diverged beyond ulp drift: $r1 vs $r2")
   }
 
