@@ -28,11 +28,21 @@ object Hits {
   /** Run `iters` HITS iterations; returns (id, hub, auth). */
   def run(spark: SparkSession, edges: DataFrame, iters: Int): DataFrame = {
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val e = edges.select("src", "dst").repartition(parts, col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count()
+    // The edge list is cached in BOTH orientations (round 6, guide §2.4):
+    // the auth gather joins on src, the hub gather on dst — a single
+    // src-partitioned cache forced a full E-row exchange (and sort) of the
+    // edge side by dst EVERY iteration. Two pre-sorted, stats-rebased
+    // checkpoint copies cost one extra E-sized cache once and make both
+    // per-iteration gather joins exchange-free and sort-free — the same
+    // static-side trade PageRank's share table makes.
+    val eSrc = graft.core.Dataflow.checkpointRebased(
+      edges.select("src", "dst").repartition(parts, col("src"))
+        .sortWithinPartitions("src"))
+    val eDst = graft.core.Dataflow.checkpointRebased(
+      edges.select("src", "dst").repartition(parts, col("dst"))
+        .sortWithinPartitions("dst"))
 
-    var state = LinkGraph.vertices(edges).repartition(parts, col("id"))
+    var state = LinkGraph.verticesPartitioned(spark, edges, parts)
       .select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth"))
       .localCheckpoint(true)
 
@@ -44,14 +54,14 @@ object Hits {
 
     for (_ <- 1 to iters) {
       val auth = state.select(col("id"), col("hub"))
-        .join(e, state("id") === e("src"))
+        .join(eSrc, state("id") === eSrc("src"))
         .groupBy(col("dst").as("id")).agg(sum("hub").as("auth"))
       val withAuth = l2normalize(
         state.select("id", "hub")
           .join(auth, Seq("id"), "left")
           .withColumn("auth", coalesce(col("auth"), lit(0.0))), "auth")
       val hub = withAuth.select(col("id"), col("auth"))
-        .join(e, withAuth("id") === e("dst"))
+        .join(eDst, withAuth("id") === eDst("dst"))
         .groupBy(col("src").as("id")).agg(sum("auth").as("hub"))
       state = l2normalize(
         withAuth.select("id", "auth")
@@ -60,7 +70,6 @@ object Hits {
         .select("id", "hub", "auth")
         .localCheckpoint(true) // truncate: constant-size plan per iteration
     }
-    e.unpersist(false)
     state
   }
 
