@@ -37,15 +37,17 @@ object ConnectedComponents {
     // hashpartitioning(src) satisfies the distinct aggregate's
     // ClusteredDistribution(src, dst) (hash exprs ⊆ clustering), so the
     // aggregate adds no exchange. The previous distinct-then-repartition
-    // order exchanged the 2E-row symmetric union twice. localCheckpoint
-    // replaces persist+count: same materialization, but the superstep plans
-    // then carry one RDD leaf instead of the full derive lineage.
+    // order exchanged the 2E-row symmetric union twice. The columnar
+    // persist() cache stays (round-6 A/B at 176 M edges: an RDD-checkpoint
+    // cache of the E-row static side is several-fold larger and loses scan
+    // vectorization — 2.5x slower supersteps).
     val und = LinkGraph.undirected(edges.select("src", "dst", "weight"))
       .select("src", "dst")
       .repartition(parts, col("src"))
       .distinct()
       .sortWithinPartitions("src")
-      .transform(graft.core.Dataflow.checkpointRebased(_))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    und.count() // materialize once
 
     // state: (id, label, delta) — delta=1.0 while the vertex just changed
     // (its neighbors must be re-examined), 0.0 once stable.
@@ -72,8 +74,7 @@ object ConnectedComponents {
     }
 
     val res = Superstep.run(init, step, tol = 0.0, maxIters = maxIters, store)
-    // und is a localCheckpoint; blocks are freed by the ContextCleaner once
-    // the handle is unreachable (the returned state does not reference it).
+    und.unpersist(false)
     res
   }
 

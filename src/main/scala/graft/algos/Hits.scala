@@ -31,16 +31,16 @@ object Hits {
     // The edge list is cached in BOTH orientations (round 6, guide §2.4):
     // the auth gather joins on src, the hub gather on dst — a single
     // src-partitioned cache forced a full E-row exchange (and sort) of the
-    // edge side by dst EVERY iteration. Two pre-sorted, stats-rebased
-    // checkpoint copies cost one extra E-sized cache once and make both
-    // per-iteration gather joins exchange-free and sort-free — the same
-    // static-side trade PageRank's share table makes.
-    val eSrc = graft.core.Dataflow.checkpointRebased(
-      edges.select("src", "dst").repartition(parts, col("src"))
-        .sortWithinPartitions("src"))
-    val eDst = graft.core.Dataflow.checkpointRebased(
-      edges.select("src", "dst").repartition(parts, col("dst"))
-        .sortWithinPartitions("dst"))
+    // edge side by dst EVERY iteration. Two pre-sorted columnar caches cost
+    // one extra E-sized cache once and make both per-iteration gather
+    // joins exchange-free and sort-free — the same static-side trade
+    // PageRank's share table makes (columnar persist, not localCheckpoint:
+    // see preparedShares' 176 M-edge A/B note).
+    val eSrc = edges.select("src", "dst").repartition(parts, col("src"))
+      .sortWithinPartitions("src").persist(StorageLevel.MEMORY_AND_DISK)
+    val eDst = edges.select("src", "dst").repartition(parts, col("dst"))
+      .sortWithinPartitions("dst").persist(StorageLevel.MEMORY_AND_DISK)
+    eSrc.count(); eDst.count()
 
     var state = LinkGraph.verticesPartitioned(spark, edges, parts)
       .select(col("id"), lit(1.0).as("hub"), lit(1.0).as("auth"))
@@ -70,6 +70,7 @@ object Hits {
         .select("id", "hub", "auth")
         .localCheckpoint(true) // truncate: constant-size plan per iteration
     }
+    eSrc.unpersist(false); eDst.unpersist(false)
     state
   }
 

@@ -55,7 +55,8 @@ object LabelPropagation {
       .repartition(parts, col("src"))
       .distinct()
       .sortWithinPartitions("src")
-      .transform(graft.core.Dataflow.checkpointRebased(_))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    und.count() // materialize once
 
     val init = LinkGraph.verticesPartitioned(spark, edges, parts)
       .select(col("id"), col("id").as("label"), lit(1.0).as("delta"))

@@ -38,26 +38,31 @@ object PageRank {
   }
 
   /** Share table ready for the superstep loop: hash(src)-partitioned, sorted
-    * by src within partitions, materialized, lineage-truncated. ONE E-row
+    * by src within partitions, materialized. ONE E-row
     * exchange (guide §2.4): the outdeg aggregate consumes the same exchange
     * as the edge stream (ReuseExchange dedupes the identical subtree), where
     * the previous shares() + repartition chain exchanged the E-row side
     * twice — once into the outdeg join, once more for the explicit
     * repartition (measured: PR prep 4.8 s vs 4.6 s for all 7 supersteps at
-    * sf0.1). The eager localCheckpoint replaces persist()+count(): same
-    * materialization cost, but the loop's per-superstep plan then carries a
-    * single RDD leaf instead of the full derive lineage (~100 operators
-    * re-analyzed and re-optimized per superstep). The explicit local sort is
-    * removed by RemoveRedundantSorts whenever the join already produced
-    * src order.
+    * sf0.1). The explicit local sort is removed by RemoveRedundantSorts
+    * whenever the join already produced src order. The table stays a
+    * persist() COLUMNAR cache, not a localCheckpoint: a round-6 A/B at the
+    * 176 M-edge probe read 550 K eps with an RDD-checkpointed share table
+    * (deserialized UnsafeRow blocks, several-fold larger than the
+    * compressed columnar cache and scanned without vectorization) vs the
+    * recorded 1.37 M eps columnar floor — at E-row scale the columnar
+    * cache IS the optimization, and its InMemoryRelation stats also reset
+    * Catalyst's size estimates for free.
     */
   def preparedShares(edges: DataFrame, parts: Int): DataFrame = {
     val e = edges.select(col("src"), col("dst")).repartition(parts, col("src"))
     val od = e.groupBy(col("src")).agg(count(lit(1)).as("od"))
-    e.join(od, "src")
+    val sh = e.join(od, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("od")).as("share"))
       .sortWithinPartitions("src")
-      .transform(graft.core.Dataflow.checkpointRebased(_))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count() // materialize once
+    sh
   }
 
   /** Run to convergence. Returns state (id, rank, delta) + metrics. */
@@ -78,7 +83,7 @@ object PageRank {
       if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
-    // Pre-sorted within hash partitions: the checkpointed relation preserves
+    // Pre-sorted within hash partitions: the cached relation advertises
     // partitioning + outputOrdering, so the per-superstep sort-merge scatter
     // join never re-sorts the E-row side — only the V-row sums side sorts
     // each round.
@@ -115,9 +120,7 @@ object PageRank {
     }
 
     val res = Superstep.run(init, step, tol, maxIters, store)
-    // sh is a localCheckpoint: its blocks are released by the ContextCleaner
-    // once the RDD handle goes out of scope (the returned state's lineage is
-    // truncated and does not reference it).
+    sh.unpersist(false)
     res
   }
 
@@ -219,6 +222,7 @@ object PageRank {
 
     val res = Superstep.run(init, step _, tol = -1.0, maxIters = iters,
       store = new LocalStore)
+    sh.unpersist(false)
     res.state.select("id", "rank")
   }
 
