@@ -202,6 +202,19 @@ object BenchExtra {
         println(f"[sweep-top] $n%-28s $s%8.2fs")
       }
     }
+    if (mode == "explainq") {
+      // explainq <outDir> <tag> <query...>: write the formatted plan of any
+      // declared SparkEntry query (Verify-like environment: AQE on) —
+      // used for the plans/r06 before/after evidence of non-bench queries.
+      spark.conf.set("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("DEV_AQE", "true"))
+      args.drop(3).foreach { q =>
+        SparkEntry.queries.get(q) match {
+          case Some(fn) => write(outDir, s"${q}_$tag.txt", fmt(fn(spark, sfDir)))
+          case None => println(s"[plans] unknown query: $q")
+        }
+      }
+    }
     if (mode == "lpa") {
       sc.addSparkListener(new StageLog)
       val lpaStore = new LocalStore

@@ -64,17 +64,58 @@ object Pq {
   }
 
   /** Nearest codebook entry per (vector, subspace): (vec_id, sub, cid,
-    * d2), ties toward the smaller cid via min(struct(d2, cid)) — a
-    * map-side-combinable aggregate, no window.
+    * d2), ties toward the smaller cid.
+    *
+    * Round 6 (guide step 4; the KMeans.assignTo precedent): previously a
+    * broadcast join materializing N·m·ks rows through the interpreted
+    * (CodegenFallback) `KMeans.dist2` fold + a min(struct) aggregate; now
+    * a primitive-array partition scan over the broadcast codebooks —
+    * zero extra rows, unboxed long arithmetic. Exact-integer d2 with the
+    * identical (x−y)² left-to-right summation (Long wrap included) and an
+    * ascending-cid scan keeping the first minimum = the min(struct(d2,
+    * cid)) tie-break, so codes are identical by construction. Subspaces
+    * with no codebook entries emit nothing, like the inner join.
     */
-  def assign(sv: DataFrame, cb: DataFrame): DataFrame =
-    sv.join(broadcast(cb), Seq("sub"))
-      .select(col("vec_id"), col("sub"), col("cid"),
-        KMeans.dist2(col("sqv"), col("scv")).as("d2"))
-      .groupBy("vec_id", "sub")
-      .agg(min(struct(col("d2"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("sub"),
-        col("m.cid").as("cid"), col("m.d2").as("d2"))
+  def assign(sv: DataFrame, cb: DataFrame): DataFrame = {
+    val spark = sv.sparkSession
+    import spark.implicits._
+    val cbRows = cb.select(col("sub"), col("cid"), col("scv"))
+      .as[(Int, Int, Array[Long])].collect()
+    val maxSub = if (cbRows.isEmpty) -1 else cbRows.iterator.map(_._1).max
+    val bySub: Array[Array[(Int, Array[Long])]] =
+      Array.tabulate(maxSub + 1) { s =>
+        cbRows.filter(_._1 == s).sortBy(_._2).map(t => (t._2, t._3))
+      }
+    val bc = spark.sparkContext.broadcast(bySub)
+    sv.select(col("vec_id"), col("sub"), col("sqv"))
+      .as[(Long, Int, Array[Long])]
+      .mapPartitions { it =>
+        val cbs = bc.value
+        it.flatMap { case (id, sub, v) =>
+          val entries =
+            if (sub >= 0 && sub < cbs.length) cbs(sub)
+            else Array.empty[(Int, Array[Long])]
+          if (entries.isEmpty) Iterator.empty
+          else {
+            var bestD = 0L
+            var bestC = 0
+            var first = true
+            var i = 0
+            while (i < entries.length) {
+              val w = entries(i)._2
+              var d = 0L
+              var j = 0
+              while (j < v.length) { val x = v(j) - w(j); d += x * x; j += 1 }
+              if (first || d < bestD) {
+                bestD = d; bestC = entries(i)._1; first = false
+              }
+              i += 1
+            }
+            Iterator.single((id, sub, bestC, bestD))
+          }
+        }
+      }.toDF("vec_id", "sub", "cid", "d2")
+  }
 
   /** One joint Lloyd step over all m codebooks: assign, then exact
     * per-coordinate floorDiv means per (sub, cid, spos). Empty entries
@@ -135,6 +176,66 @@ object Pq {
     out
   }
 
+  /** EXACT grid-L2 top-k per query over the quantized corpus —
+    * (query_id, vec_id), rank by (d2, vec_id), self-matches included
+    * (mirroring the ADC scans, which score the query's own row too).
+    * Shared baseline of [[adcRecall]] and [[ivfAdcRecall]] (ADVICE r5:
+    * the two previously duplicated this scaffolding verbatim).
+    *
+    * Round 6: a primitive partition scan with an exact per-partition
+    * top-k heap per query replaces the N·|Q| crossJoin through the
+    * interpreted dist2 fold; integer d2 with the identical summation
+    * order, heap order = the window's own (d2 ASC, vec_id ASC), global
+    * top-k ⊆ union of partition top-ks ⇒ identical rows.
+    */
+  private def gridExactTopK(qv: DataFrame, qq: DataFrame, k: Int): DataFrame = {
+    val spark = qv.sparkSession
+    import spark.implicits._
+    val qArr: Array[(Long, Array[Long])] =
+      qq.as[(Long, Array[Long])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(qArr)
+    val pruned = qv.as[(Long, Array[Long])]
+      .mapPartitions { it =>
+        val qs = bc.value
+        if (qs.isEmpty) Iterator.empty
+        else {
+          // heap root = current WORST kept candidate (larger d2, then
+          // larger vec_id) under the final window's total order
+          val worstOnTop: Ordering[(Long, Long)] = new Ordering[(Long, Long)] {
+            def compare(a: (Long, Long), b: (Long, Long)): Int = {
+              val c = java.lang.Long.compare(a._1, b._1)
+              if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+            }
+          }
+          val heaps = Array.fill(qs.length)(
+            new scala.collection.mutable.PriorityQueue[(Long, Long)]()(worstOnTop))
+          it.foreach { case (id, v) =>
+            var i = 0
+            while (i < qs.length) {
+              val w = qs(i)._2
+              var d = 0L
+              var j = 0
+              while (j < v.length) { val x = v(j) - w(j); d += x * x; j += 1 }
+              val h = heaps(i)
+              if (h.size < k) h.enqueue((d, id))
+              else if (worstOnTop.compare((d, id), h.head) < 0) {
+                h.dequeue(); h.enqueue((d, id))
+              }
+              i += 1
+            }
+          }
+          qs.iterator.zipWithIndex.flatMap { case ((qid, _), i) =>
+            heaps(i).iterator.map { case (d, id) => (qid, id, d) }
+          }
+        }
+      }.toDF("query_id", "vec_id", "d2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
+    pruned.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("vec_id"))
+  }
+
   /** Recall@k of the ADC ranking against the EXACT grid-L2 top-k on the
     * full vectors: (query_id, hits) with hits = |ADC top-k ∩ exact
     * top-k| ∈ 0..k — the driver-visible pruning-quality gate the
@@ -147,14 +248,7 @@ object Pq {
       KMeans.quantize(col("embedding"), scale).as("qv"))
     val qq = queries.select(col("vec_id").as("query_id"),
       KMeans.quantize(col("embedding"), scale).as("qqv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
-    val exact = qv.crossJoin(broadcast(qq))
-      .select(col("query_id"), col("vec_id"),
-        KMeans.dist2(col("qv"), col("qqv")).as("d2"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"))
+    val exact = gridExactTopK(qv, qq, k)
     qq.select("query_id")
       .join(approx.join(exact, Seq("query_id", "vec_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("h")),
@@ -245,14 +339,7 @@ object Pq {
       KMeans.quantize(col("embedding"), scale).as("qv"))
     val qq = queries.select(col("vec_id").as("query_id"),
       KMeans.quantize(col("embedding"), scale).as("qqv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("d2"), col("vec_id"))
-    val exact = qv.crossJoin(broadcast(qq))
-      .select(col("query_id"), col("vec_id"),
-        KMeans.dist2(col("qv"), col("qqv")).as("d2"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("vec_id"))
+    val exact = gridExactTopK(qv, qq, k)
     qq.select("query_id")
       .join(approx.join(exact, Seq("query_id", "vec_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("h")),
